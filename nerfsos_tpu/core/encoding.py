@@ -1,0 +1,92 @@
+"""Positional encodings (classic NeRF PE and mip-NeRF integrated PE).
+
+TPU-native rewrite of the reference encoders (``models/embedder.py:11-98`` in
+VITA-Group/NeRF-SOS). The feature ORDER is bit-compatible with the reference —
+``[x, sin(f0·x), cos(f0·x), sin(f1·x), ...]`` with per-frequency blocks laid
+out ``[sin(f·x), sin(f·y), sin(f·z), cos(f·x), cos(f·y), cos(f·z)]`` — so the
+first Dense layer of a converted torch checkpoint consumes identical columns.
+"""
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+
+
+def freq_bands(n_freqs: int, max_freq: float, log_sampling: bool = True) -> jnp.ndarray:
+    """``2^linspace(0, max_freq, n)`` (log) or ``linspace(2^0, 2^max_freq, n)``.
+
+    Parity: reference ``models/embedder.py:25-28``.
+    """
+    if log_sampling:
+        return 2.0 ** jnp.linspace(0.0, max_freq, n_freqs)
+    return jnp.linspace(2.0**0.0, 2.0**max_freq, n_freqs)
+
+
+def pe_dim(input_dim: int, n_freqs: int, include_input: bool = True) -> int:
+    return input_dim * (2 * n_freqs + (1 if include_input else 0))
+
+
+def positional_encoding(
+    x: jnp.ndarray,
+    n_freqs: int,
+    max_freq: float | None = None,
+    include_input: bool = True,
+    log_sampling: bool = True,
+) -> jnp.ndarray:
+    """Classic NeRF positional encoding.
+
+    Args:
+      x: [..., D] coordinates.
+    Returns:
+      [..., pe_dim(D, n_freqs)] with reference-compatible column order
+      (``models/embedder.py:34-48``): per frequency, sin over channels then
+      cos over channels; raw input (if any) prepended.
+    """
+    if n_freqs == 0:
+        return x
+    if max_freq is None:
+        max_freq = float(n_freqs - 1)
+    bands = freq_bands(n_freqs, max_freq, log_sampling).astype(x.dtype)
+    xf = x[..., None, :] * bands[:, None]  # [..., F, D]
+    emb = jnp.concatenate([jnp.sin(xf), jnp.cos(xf)], axis=-1)  # [..., F, 2D]
+    emb = emb.reshape(*x.shape[:-1], -1)  # freq-major, (sin,cos)-then-channel
+    if include_input:
+        emb = jnp.concatenate([x, emb], axis=-1)
+    return emb
+
+
+def ipe_dim(input_dim: int, n_freqs: int) -> int:
+    return 2 * input_dim * n_freqs
+
+
+def expected_sin(x: jnp.ndarray, x_var: jnp.ndarray) -> jnp.ndarray:
+    """E[sin(z)] for z ~ N(x, x_var). Parity: ``models/embedder.py:67-75``."""
+    return jnp.exp(-0.5 * x_var) * jnp.sin(x)
+
+
+def integrated_positional_encoding(
+    x: jnp.ndarray,
+    x_cov_diag: jnp.ndarray,
+    n_freqs: int,
+    max_freq: float | None = None,
+    log_sampling: bool = True,
+) -> jnp.ndarray:
+    """mip-NeRF integrated positional encoding over diagonal Gaussians.
+
+    Args:
+      x:          [..., D] Gaussian means.
+      x_cov_diag: [..., D] diagonal covariances.
+    Returns:
+      [..., 2*D*n_freqs]; parity: reference ``models/embedder.py:77-98``
+      (``sin`` block then the ``sin(x + pi/2) = cos`` block).
+    """
+    if max_freq is None:
+        max_freq = float(n_freqs - 1)
+    bands = freq_bands(n_freqs, max_freq, log_sampling).astype(x.dtype)
+    y = (x[..., None, :] * bands[:, None]).reshape(*x.shape[:-1], -1)
+    y_var = (x_cov_diag[..., None, :] * (bands[:, None] ** 2)).reshape(*x.shape[:-1], -1)
+    return expected_sin(
+        jnp.concatenate([y, y + 0.5 * math.pi], axis=-1),
+        jnp.concatenate([y_var, y_var], axis=-1),
+    )
