@@ -1,0 +1,254 @@
+"""Coarse/fine NeRF rendering orchestration (functional, jit-first).
+
+TPU-native rewrite of the reference ``NeRFNet`` (``models/nerf_net.py:20-195``
+in VITA-Group/NeRF-SOS). Behavior parity:
+
+- coarse stratified sample -> coarse field -> composite; importance resample
+  (detached, merge-sorted) -> fine field -> composite (reference ``:71-130``),
+- coarse outputs buffered under a ``'0'`` suffix, fine ``z_std`` reported
+  (reference ``:124-128``),
+- coarse and fine fields SHARE parameters when ``n_importance == 0``
+  (reference ``:49-54``),
+- viewdirs are the unit-normalized ray directions (reference ``:163-166``),
+- scalar near/far broadcast per ray (reference ``:169-173``).
+
+TPU-first deltas:
+
+- The reference's Python ``ray_chunk`` loop (``:177-187``) becomes a
+  ``jax.lax.map`` over fixed-size ray blocks INSIDE one compiled graph, with
+  ``jax.checkpoint`` on the block body so backward rematerializes per block —
+  bounded memory at full MXU utilization, fully differentiable.
+- torch global RNG becomes explicit key threading; ``model.training`` becomes
+  an explicit ``train`` argument selecting the reference's
+  ``render_kwargs_train/test`` defaults (``:57-69``).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from nerfsos_tpu.core import sampling
+from nerfsos_tpu.core.render import volumetric_render
+from nerfsos_tpu.models.fields import NeRFField
+
+
+@dataclasses.dataclass(frozen=True)
+class NeRFConfig:
+    """Model + render configuration (reference ``NeRFNet.__init__`` args)."""
+
+    netdepth: int = 8
+    netwidth: int = 256
+    netdepth_fine: int = 8
+    netwidth_fine: int = 256
+    n_samples: int = 64
+    n_importance: int = 64
+    use_viewdirs: bool = True
+    use_embed: bool = True
+    multires: int = 10
+    multires_views: int = 4
+    conv_embed: bool = False
+    perturb: float = 1.0
+    raw_noise_std: float = 0.0
+    white_bkgd: bool = False
+    lindisp: bool = False
+    use_semantics: bool = False
+    sem_layer: int = 2
+    sem_dim: int = 2
+    sem_with_coord: bool = False
+    sem_with_geo: bool = False
+    # TPU execution knobs (replace the reference's ray_chunk/pts_chuck):
+    ray_block: int = 4096  # rays per compiled block of the render scan
+    remat: bool = True  # rematerialize block bodies in backward
+    compute_dtype: str = "float32"  # MLP activation dtype ("bfloat16" for MXU)
+
+    @property
+    def shared_fine(self) -> bool:
+        return self.n_importance <= 0
+
+
+def _field_kwargs(cfg: NeRFConfig, fine: bool) -> Dict[str, Any]:
+    return dict(
+        net_depth=cfg.netdepth_fine if fine else cfg.netdepth,
+        net_width=cfg.netwidth_fine if fine else cfg.netwidth,
+        skips=(4,),
+        use_viewdirs=cfg.use_viewdirs,
+        use_embed=cfg.use_embed,
+        multires=cfg.multires,
+        multires_views=cfg.multires_views,
+        conv_embed=cfg.conv_embed,
+        output_ch=4,
+        use_semantics=cfg.use_semantics,
+        sem_layer=cfg.sem_layer,
+        sem_dim=cfg.sem_dim,
+        sem_with_coord=cfg.sem_with_coord,
+        sem_with_geo=cfg.sem_with_geo,
+        compute_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32,
+    )
+
+
+class NeRFNet:
+    """Stateless renderer: holds config + flax field definitions, no params."""
+
+    def __init__(self, cfg: NeRFConfig):
+        self.cfg = cfg
+        self.coarse = NeRFField(**_field_kwargs(cfg, fine=False), name=None)
+        self.fine = None if cfg.shared_fine else NeRFField(**_field_kwargs(cfg, fine=True), name=None)
+
+    # ------------------------------------------------------------- params
+
+    def init(self, key: jax.Array) -> Dict[str, Any]:
+        pts = jnp.zeros((2, 3, 3))
+        dirs = jnp.zeros((2, 3)) if self.cfg.use_viewdirs else None
+        kc, kf = jax.random.split(key)
+        params = {"coarse": self.coarse.init(kc, pts, dirs)["params"]}
+        if self.fine is not None:
+            params["fine"] = self.fine.init(kf, pts, dirs)["params"]
+        return params
+
+    def _apply(self, params: Dict[str, Any], which: str, pts: jnp.ndarray,
+               viewdirs: Optional[jnp.ndarray]) -> jnp.ndarray:
+        if which == "fine" and self.fine is not None:
+            return self.fine.apply({"params": params["fine"]}, pts, viewdirs)
+        return self.coarse.apply({"params": params["coarse"]}, pts, viewdirs)
+
+    # ------------------------------------------------------------- render
+
+    def render_rays(
+        self,
+        params: Dict[str, Any],
+        rays_o: jnp.ndarray,
+        rays_d: jnp.ndarray,
+        viewdirs: Optional[jnp.ndarray],
+        near: jnp.ndarray,
+        far: jnp.ndarray,
+        key: Optional[jax.Array],
+        *,
+        perturb: float,
+        raw_noise_std: float,
+        n_samples: Optional[int] = None,
+        n_importance: Optional[int] = None,
+        retraw: bool = False,
+        retpts: bool = False,
+    ) -> Dict[str, jnp.ndarray]:
+        """Render one block of rays. Parity: reference ``render_rays`` (:71-130)."""
+        cfg = self.cfg
+        n_samples = cfg.n_samples if n_samples is None else n_samples
+        n_importance = cfg.n_importance if n_importance is None else n_importance
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        k_strat, k_noise_c, k_imp, k_noise_f = jax.random.split(key, 4)
+
+        z_vals = sampling.stratified_sample(
+            k_strat, near, far, n_samples, perturb=perturb, lindisp=cfg.lindisp
+        )
+        pts = sampling.points_along_rays(rays_o, rays_d, z_vals)
+        raw = self._apply(params, "coarse", pts, viewdirs)
+        ret = volumetric_render(
+            raw, z_vals, rays_d,
+            raw_noise_std=raw_noise_std, white_bkgd=cfg.white_bkgd,
+            use_semantics=cfg.use_semantics, noise_key=k_noise_c,
+        )
+        if retraw:
+            ret["raw"] = raw
+        if retpts:
+            ret["pts"] = pts
+
+        if n_importance > 0:
+            ret0 = ret
+            z_all, z_samples = sampling.importance_sample(
+                k_imp, z_vals, ret0["weights"], n_importance, det=(perturb == 0.0)
+            )
+            pts = sampling.points_along_rays(rays_o, rays_d, z_all)
+            raw = self._apply(params, "fine", pts, viewdirs)
+            ret = volumetric_render(
+                raw, z_all, rays_d,
+                raw_noise_std=raw_noise_std, white_bkgd=cfg.white_bkgd,
+                use_semantics=cfg.use_semantics, noise_key=k_noise_f,
+            )
+            if retraw:
+                ret["raw"] = raw
+            if retpts:
+                ret["pts"] = pts
+            ret["z_std"] = jnp.std(z_samples, axis=-1)  # biased, like torch(unbiased=False)
+            for k, v in ret0.items():
+                ret[k + "0"] = v
+        return ret
+
+    def __call__(
+        self,
+        params: Dict[str, Any],
+        ray_batch: jnp.ndarray,
+        bounds: Tuple[Any, Any],
+        key: Optional[jax.Array] = None,
+        train: bool = False,
+        **overrides: Any,
+    ) -> Dict[str, jnp.ndarray]:
+        """Render a batch of rays of arbitrary leading shape.
+
+        Args:
+          ray_batch: [2, ..., 3] stacked (origins, directions).
+          bounds: (near, far) — python scalars or per-ray arrays.
+        Returns:
+          dict of per-ray outputs with the input leading shape restored.
+        Parity: reference ``forward`` (``models/nerf_net.py:132-195``).
+        """
+        cfg = self.cfg
+        perturb = overrides.pop("perturb", cfg.perturb if train else 0.0)
+        raw_noise_std = overrides.pop("raw_noise_std", cfg.raw_noise_std if train else 0.0)
+
+        rays_o, rays_d = ray_batch[0], ray_batch[1]
+        lead_shape = rays_d.shape[:-1]
+        rays_o = rays_o.reshape(-1, rays_o.shape[-1]).astype(jnp.float32)
+        rays_d = rays_d.reshape(-1, rays_d.shape[-1]).astype(jnp.float32)
+        R = rays_o.shape[0]
+
+        viewdirs = None
+        if cfg.use_viewdirs:
+            viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+
+        near, far = bounds
+        near = jnp.broadcast_to(jnp.asarray(near, jnp.float32), (R,))[:, None]
+        far = jnp.broadcast_to(jnp.asarray(far, jnp.float32), (R,))[:, None]
+
+        block = min(cfg.ray_block, R)
+        n_blocks = -(-R // block)
+        pad = n_blocks * block - R
+        if pad:
+            def _pad(x):
+                return jnp.concatenate([x, jnp.broadcast_to(x[-1:], (pad,) + x.shape[1:])], 0)
+            rays_o, rays_d, near, far = map(_pad, (rays_o, rays_d, near, far))
+            if viewdirs is not None:
+                viewdirs = _pad(viewdirs)
+
+        if key is None:
+            key = jax.random.PRNGKey(0)
+
+        def body(xs):
+            o, d, v, n, f, k = xs
+            return self.render_rays(
+                params, o, d, v, n, f, k,
+                perturb=perturb, raw_noise_std=raw_noise_std, **overrides,
+            )
+
+        if cfg.remat:
+            body = jax.checkpoint(body)
+
+        if n_blocks == 1:
+            out = body((rays_o, rays_d, viewdirs, near, far, key))
+            out = {k: v for k, v in out.items()}
+        else:
+            def blk(x):
+                return x.reshape(n_blocks, block, *x.shape[1:])
+            keys = jax.random.split(key, n_blocks)
+            xs = (blk(rays_o), blk(rays_d),
+                  blk(viewdirs) if viewdirs is not None else jnp.zeros((n_blocks, block, 3)),
+                  blk(near), blk(far), keys)
+            out = jax.lax.map(body, xs)
+            out = {k: v.reshape(n_blocks * block, *v.shape[2:]) for k, v in out.items()}
+
+        if pad:
+            out = {k: v[:R] for k, v in out.items()}
+        return {k: v.reshape(*lead_shape, *v.shape[1:]) for k, v in out.items()}
