@@ -1,0 +1,78 @@
+"""Jitted train steps (vanilla RGB path; the SOS patch path lives in
+``engines/sos.py``).
+
+TPU-native rewrite of the reference train step (``engines/trainer.py:32-213``
+in VITA-Group/NeRF-SOS): the whole step — render, loss, backward, Adam — is
+ONE jitted program. Data-parallel scaling comes from sharding the ray batch
+over the mesh's ``data`` axis with replicated params; XLA inserts the gradient
+``psum`` over ICI (SURVEY.md §2.5).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from nerfsos_tpu.engines.state import TrainState
+from nerfsos_tpu.losses.photometric import img2mse, mse2psnr
+from nerfsos_tpu.models.nerf import NeRFNet
+
+
+def rgb_loss_fn(
+    net: NeRFNet,
+    params: Any,
+    batch: Dict[str, jnp.ndarray],
+    key: jax.Array,
+    near: float,
+    far: float,
+    rgb_w: float = 1.0,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Coarse+fine MSE (reference ``engines/trainer.py:113-121``)."""
+    out = net(params, batch["rays"], (near, far), key=key, train=True)
+    img_loss = img2mse(out["rgb"], batch["target"])
+    loss = rgb_w * img_loss
+    metrics = {"img1": img_loss, "psnr": mse2psnr(img_loss)}
+    if "rgb0" in out:
+        img_loss0 = img2mse(out["rgb0"], batch["target"])
+        loss = loss + rgb_w * img_loss0
+        metrics.update(img0=img_loss0, psnr0=mse2psnr(img_loss0))
+    metrics["loss"] = loss
+    return loss, metrics
+
+
+def make_rgb_train_step(
+    net: NeRFNet,
+    near: float,
+    far: float,
+    rgb_w: float = 1.0,
+    mesh: Optional[Mesh] = None,
+    donate: bool = True,
+):
+    """Build the jitted RGB train step.
+
+    Batch contract: ``rays [2, B, 3]`` (origins, dirs), ``target [B, 3]``.
+    With a mesh, rays/target are sharded along B and the state is replicated.
+    """
+
+    def step(state: TrainState, batch: Dict[str, jnp.ndarray], key: jax.Array):
+        (_, metrics), grads = jax.value_and_grad(
+            lambda p: rgb_loss_fn(net, p, batch, key, near, far, rgb_w), has_aux=True
+        )(state.params)
+        return state.apply_gradients(grads), metrics
+
+    kwargs: Dict[str, Any] = {}
+    if donate:
+        kwargs["donate_argnums"] = (0,)
+    if mesh is not None:
+        rep = NamedSharding(mesh, P())
+        kwargs["in_shardings"] = (
+            rep,  # state
+            {"rays": NamedSharding(mesh, P(None, "data")),
+             "target": NamedSharding(mesh, P("data"))},
+            rep,  # key
+        )
+        kwargs["out_shardings"] = (rep, rep)
+    return jax.jit(step, **kwargs)

@@ -1,0 +1,128 @@
+"""Data-parallel train-step tests on the virtual 8-device CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerfsos_tpu.engines.state import TrainState, exp_decay_schedule, make_optimizer, semantic_head_mask
+from nerfsos_tpu.engines.trainer import make_rgb_train_step
+from nerfsos_tpu.models.nerf import NeRFConfig, NeRFNet
+from nerfsos_tpu.parallel import mesh as pmesh
+
+
+def _tiny_net(use_semantics=False):
+    cfg = NeRFConfig(netwidth=32, netdepth=2, netwidth_fine=32, netdepth_fine=2,
+                     n_samples=8, n_importance=8, multires=4, multires_views=2,
+                     use_semantics=use_semantics, ray_block=4096)
+    net = NeRFNet(cfg)
+    return net, net.init(jax.random.PRNGKey(0))
+
+
+def test_exp_decay_schedule_matches_reference():
+    s = exp_decay_schedule(5e-4, 0.1, 250_000)
+    np.testing.assert_allclose(float(s(0)), 5e-4)
+    np.testing.assert_allclose(float(s(250_000)), 5e-5, rtol=1e-6)
+    np.testing.assert_allclose(float(s(125_000)), 5e-4 * 0.1**0.5, rtol=1e-6)
+
+
+def test_semantic_head_mask_marks_only_sem():
+    net, params = _tiny_net(use_semantics=True)
+    mask = semantic_head_mask(params)
+    flat_m = jax.tree_util.tree_flatten_with_path(mask)[0]
+    marked = {jax.tree_util.keystr(p): v for p, v in flat_m}
+    assert any(("sem_0" in k) and v for k, v in marked.items())
+    assert all(v is False for k, v in marked.items() if "pts_linears" in k or "rgb_linear" in k)
+
+
+def test_fix_backbone_only_updates_sem_head():
+    net, params = _tiny_net(use_semantics=True)
+    tx = make_optimizer(1e-2, fix_backbone=True, params=params)
+    state = TrainState.create(params, tx)
+    rays = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 3))
+
+    # Loss that produces gradient for BOTH backbone (rgb) and sem head.
+    def loss_fn(p):
+        out = net(p, rays, (1.0, 4.0), key=jax.random.PRNGKey(2), train=True)
+        return (jnp.mean(out["rgb"] ** 2) + jnp.mean(out["semantics"] ** 2)
+                + jnp.mean(out["semantics0"] ** 2))
+
+    grads = jax.grad(loss_fn)(state.params)
+    new_state = state.apply_gradients(grads)
+    # backbone bit-identical despite nonzero grads, semantic head moved
+    same = jax.tree_util.tree_map(lambda a, b: bool(jnp.all(a == b)),
+                                  state.params, new_state.params)
+    flat = {jax.tree_util.keystr(p): v
+            for p, v in jax.tree_util.tree_flatten_with_path(same)[0]}
+    assert all(v for k, v in flat.items() if "pts_linears" in k or "rgb_linear" in k)
+    assert all(not v for k, v in flat.items() if "sem_" in k)
+    # sanity: backbone grads really were nonzero (freeze did the work)
+    gsum = sum(float(jnp.sum(jnp.abs(x)))
+               for p, x in jax.tree_util.tree_flatten_with_path(grads)[0]
+               if "pts_linears" in jax.tree_util.keystr(p))
+    assert gsum > 0
+
+
+def test_dp_train_step_runs_on_8_device_mesh():
+    net, params = _tiny_net()
+    m = pmesh.make_mesh(8)
+    tx = make_optimizer(5e-4)
+    state = TrainState.create(params, tx)
+    state = jax.device_put(state, pmesh.replicated(m))
+    step = make_rgb_train_step(net, 1.0, 4.0, mesh=m, donate=False)
+    B = 64
+    batch = {"rays": jax.random.normal(jax.random.PRNGKey(1), (2, B, 3)),
+             "target": jnp.zeros((B, 3))}
+    batch = {
+        "rays": jax.device_put(batch["rays"], pmesh.data_sharding(m, 1, 3)),
+        "target": jax.device_put(batch["target"], pmesh.data_sharding(m, 0, 2)),
+    }
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(2))
+    assert int(new_state.step) == 1
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_dp_matches_single_device_gradients():
+    """Sharded step must produce the same update as the unsharded step."""
+    net, params = _tiny_net()
+    tx = make_optimizer(1e-2)
+    B = 64
+    batch = {"rays": jax.random.normal(jax.random.PRNGKey(1), (2, B, 3)),
+             "target": jax.random.uniform(jax.random.PRNGKey(3), (B, 3))}
+    key = jax.random.PRNGKey(2)
+
+    s1 = TrainState.create(params, tx)
+    step1 = make_rgb_train_step(net, 1.0, 4.0, donate=False)
+    out1, m1 = step1(s1, batch, key)
+
+    m = pmesh.make_mesh(8)
+    s8 = jax.device_put(TrainState.create(params, tx), pmesh.replicated(m))
+    step8 = make_rgb_train_step(net, 1.0, 4.0, mesh=m, donate=False)
+    sb = {
+        "rays": jax.device_put(batch["rays"], pmesh.data_sharding(m, 1, 3)),
+        "target": jax.device_put(batch["target"], pmesh.data_sharding(m, 0, 2)),
+    }
+    out8, m8 = step8(s8, sb, key)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-5)
+    for (p1, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(out1.params)[0],
+        jax.tree_util.tree_flatten_with_path(out8.params)[0],
+    ):
+        np.testing.assert_allclose(np.array(a), np.array(b), atol=2e-6,
+                                   err_msg=jax.tree_util.keystr(p1))
+
+
+def test_loss_decreases_over_steps():
+    net, params = _tiny_net()
+    tx = make_optimizer(5e-3)
+    state = TrainState.create(params, tx)
+    step = make_rgb_train_step(net, 1.0, 4.0, donate=False)
+    key = jax.random.PRNGKey(0)
+    rays = jax.random.normal(jax.random.PRNGKey(1), (2, 128, 3))
+    target = jnp.tile(jnp.array([[0.2, 0.5, 0.8]]), (128, 1))
+    batch = {"rays": rays, "target": target}
+    losses = []
+    for _ in range(30):
+        key, sk = jax.random.split(key)
+        state, metrics = step(state, batch, sk)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0] * 0.5, losses[::10]
