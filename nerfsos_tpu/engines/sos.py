@@ -1,0 +1,220 @@
+"""NeRF-SOS patch-finetuning train step (the flagship path).
+
+TPU-native rewrite of the reference train step (``engines/trainer.py:32-213``
+in VITA-Group/NeRF-SOS): render patches, run the frozen DINO ViT on the
+rendered RGB, assemble RGB + appearance-correlation + geometry-correlation
+(+ optional contrastive) losses, Adam step — ALL inside one jitted program.
+
+Parity notes (SURVEY.md §7.4):
+- the semantic CE loss is dead code upstream (``sem_loss0/1`` constant zero,
+  reference ``:123, 205``) — segmentation trains ONLY via correlation losses;
+- the DINO input is nearest-resized to (patch_size * patch_stride)^2 first
+  (reference ``:104``, default interpolate mode), then the extractor resizes
+  to 224^2 — two-step resize preserved exactly;
+- both correlation losses are applied to BOTH coarse ('0') and fine heads;
+- the geometry loss consumes the FINE depth for both calls (reference
+  ``:159-160``);
+- the de-facto invariant SOS mode = patch_tune ∧ use_dino ∧ use_correlation ∧
+  use_geoCorr is made explicit here (the reference crashes otherwise).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from nerfsos_tpu.engines.state import TrainState
+from nerfsos_tpu.losses.correlation import (
+    CorrelationLoss,
+    GeoCorrelationLoss,
+    get_similarity_matrix,
+    nerf_contrastive,
+)
+from nerfsos_tpu.losses.photometric import img2mse, mse2psnr
+from nerfsos_tpu.models.extractor import VitExtractor, resize_nearest_torch
+from nerfsos_tpu.models.nerf import NeRFNet
+
+
+@dataclasses.dataclass(frozen=True)
+class SOSConfig:
+    """SOS loss/pipeline flags (reference ``run_nerf.py`` SOS flag group)."""
+
+    batch_size: int = 8
+    patch_size: int = 64
+    patch_stride: int = 6
+    rgb_w: float = 1.0
+    correlation_w: float = 1.0
+    Gcorrelation_w: float = 0.01
+    contrast_w: float = 0.0
+    use_dino: bool = True
+    use_correlation: bool = True
+    use_geoCorr: bool = True
+    use_contrast: bool = False
+
+
+def _to_patches(x: jnp.ndarray, B: int, P: int) -> jnp.ndarray:
+    """[B*P*P, C] -> [B, C, P, P] (the losses' NCHW layout)."""
+    return x.reshape(B, P, P, -1).transpose(0, 3, 1, 2)
+
+
+def sos_loss_fn(
+    net: NeRFNet,
+    extractor: VitExtractor,
+    app_loss: CorrelationLoss,
+    geo_loss: GeoCorrelationLoss,
+    cfg: SOSConfig,
+    params: Any,
+    dino_params: Any,
+    batch: Dict[str, jnp.ndarray],
+    key: jax.Array,
+    near: float,
+    far: float,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    B, Psz = cfg.batch_size, cfg.patch_size
+    k_render, k_app0, k_app1, k_geo0, k_geo1 = jax.random.split(key, 5)
+
+    out = net(params, batch["rays"], (near, far), key=k_render, train=True)
+
+    gt = batch["target"]  # [B*P*P, 3]
+    img_loss = img2mse(out["rgb"], gt)
+    img_loss0 = img2mse(out["rgb0"], gt)
+    loss = cfg.rgb_w * (img_loss + img_loss0)
+    metrics = {
+        "img1": img_loss, "img0": img_loss0,
+        "psnr": mse2psnr(img_loss), "psnr0": mse2psnr(img_loss0),
+        "sem0": jnp.zeros(()), "sem1": jnp.zeros(()),  # dead CE, kept for log parity
+    }
+
+    zero = jnp.zeros(())
+    metrics.update(corr0=zero, corr1=zero, geo_corr0=zero, geo_corr1=zero, contrast=zero)
+
+    if cfg.use_dino:
+        rgb_patches = out["rgb"].reshape(B, Psz, Psz, 3)
+        # two-step nearest resize: P -> P*stride (trainer :104), -> 224 (extractor)
+        dino_in = resize_nearest_torch(
+            jax.lax.stop_gradient(rgb_patches),
+            Psz * cfg.patch_stride, Psz * cfg.patch_stride,
+        )
+        dino = extractor.get_vit_attn_feat(dino_in, params=dino_params)
+        feat_tokens = dino["feat"]  # [B, N, C]
+        side = int(feat_tokens.shape[1] ** 0.5)
+        feat = feat_tokens.reshape(B, side, side, -1).transpose(0, 3, 1, 2)
+        sim_matrix = get_similarity_matrix(dino["cls_"])  # (trainer :125, unconditional)
+
+        if cfg.use_correlation:
+            sem0 = _to_patches(out["semantics0"], B, Psz)
+            sem = _to_patches(out["semantics"], B, Psz)
+            corr0 = cfg.correlation_w * app_loss(k_app0, feat, sem0, sim_matrix)
+            corr1 = cfg.correlation_w * app_loss(k_app1, feat, sem, sim_matrix)
+            loss = loss + corr0 + corr1
+            metrics.update(corr0=corr0, corr1=corr1)
+
+        if cfg.use_geoCorr:
+            sem0 = _to_patches(out["semantics0"], B, Psz)
+            sem = _to_patches(out["semantics"], B, Psz)
+            depth = _to_patches(out["depth"], B, Psz)  # FINE depth for both (:159-160)
+            ray_o = _to_patches(batch["rays"][0], B, Psz)
+            ray_d = _to_patches(batch["rays"][1], B, Psz)
+            g0 = cfg.Gcorrelation_w * geo_loss(k_geo0, depth, sem0, (ray_o, ray_d), sim_matrix)
+            g1 = cfg.Gcorrelation_w * geo_loss(k_geo1, depth, sem, (ray_o, ray_d), sim_matrix)
+            loss = loss + g0 + g1
+            metrics.update(geo_corr0=g0, geo_corr1=g1)
+
+        if cfg.use_contrast:
+            c = cfg.contrast_w * nerf_contrastive(dino["cls_"])
+            loss = loss + c
+            metrics.update(contrast=c)
+
+    metrics["loss"] = loss
+    return loss, metrics
+
+
+def make_sos_train_step(
+    net: NeRFNet,
+    extractor: VitExtractor,
+    app_loss: CorrelationLoss,
+    geo_loss: GeoCorrelationLoss,
+    cfg: SOSConfig,
+    near: float,
+    far: float,
+    mesh: Optional[Mesh] = None,
+    donate: bool = True,
+):
+    """Build the jitted SOS train step.
+
+    Batch contract (from ``data.datasets.PatchDataset.sample_batch``):
+    ``rays [2, B*P*P, 3]``, ``target [B*P*P, 3]``. DINO params ride in the
+    state-free argument ``dino_params`` (frozen; never updated).
+    """
+
+    def step(state: TrainState, dino_params: Any, batch: Dict[str, jnp.ndarray], key: jax.Array):
+        (_, metrics), grads = jax.value_and_grad(
+            lambda p: sos_loss_fn(net, extractor, app_loss, geo_loss, cfg, p,
+                                  dino_params, batch, key, near, far),
+            has_aux=True,
+        )(state.params)
+        return state.apply_gradients(grads), metrics
+
+    kwargs: Dict[str, Any] = {}
+    if donate:
+        kwargs["donate_argnums"] = (0,)
+    if mesh is not None:
+        rep = NamedSharding(mesh, P())
+        data1 = NamedSharding(mesh, P("data"))
+        kwargs["in_shardings"] = (
+            rep,
+            rep,
+            {"rays": NamedSharding(mesh, P(None, "data")), "target": data1,
+             "masks": data1},
+            rep,
+        )
+        kwargs["out_shardings"] = (rep, rep)
+    return jax.jit(step, **kwargs)
+
+
+def online_seg_metrics(semantics: Any, masks: Any, batch_size: int, patch_size: int,
+                       n_cluster: int = 2, clus_no_sfm: bool = False) -> Dict[str, float]:
+    """Periodic ARI logging (host-side; reference ``engines/trainer.py:174-198``).
+
+    Args: semantics [B*P*P, sem_dim] (device or numpy), masks [B*P*P, 1].
+    """
+    import numpy as np
+
+    from nerfsos_tpu.utils.metrics import adjusted_rand_score
+
+    sem = np.asarray(semantics).reshape(batch_size, patch_size, patch_size, -1)
+    if clus_no_sfm:
+        prob = sem
+        sft = _np_softmax(sem)
+    else:
+        prob = _np_softmax(sem)
+        sft = prob
+    sem_pred_sft = np.argmax(sft, -1)[..., None]
+
+    from sklearn.cluster import KMeans
+
+    sem_pred_clus = np.zeros((batch_size, patch_size, patch_size, 1))
+    for i in range(batch_size):
+        km = KMeans(n_clusters=n_cluster, random_state=0, n_init=10).fit(
+            prob[i].reshape(-1, prob.shape[-1])
+        )
+        sem_pred_clus[i] = km.labels_.reshape(patch_size, patch_size, 1)
+
+    sem_gt = np.asarray(masks).reshape(batch_size, patch_size, patch_size, 1)
+    fg = sem_gt == 1
+    return {
+        "clus_ari": adjusted_rand_score(sem_gt.reshape(-1), sem_pred_clus.reshape(-1)),
+        "clus_ari_fg": adjusted_rand_score(sem_gt[fg].reshape(-1), sem_pred_clus[fg].reshape(-1)),
+        "sem_ari": adjusted_rand_score(sem_gt.reshape(-1), sem_pred_sft.reshape(-1)),
+        "sem_ari_fg": adjusted_rand_score(sem_gt[fg].reshape(-1), sem_pred_sft[fg].reshape(-1)),
+    }
+
+
+def _np_softmax(x):
+    import numpy as np
+
+    e = np.exp(x - x.max(-1, keepdims=True))
+    return e / e.sum(-1, keepdims=True)

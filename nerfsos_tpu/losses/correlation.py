@@ -1,0 +1,208 @@
+"""Collaborative contrastive correlation losses — the heart of NeRF-SOS.
+
+TPU-native rewrite of the reference losses (``utils/image.py:187-482`` in
+VITA-Group/NeRF-SOS):
+
+- ``CorrelationLoss`` (appearance): STEGO-style hinge between the DINO
+  patch-feature correlation (no-grad, "pointwise" mean-recentered) and the
+  rendered semantic-code correlation, over 11x11 randomly grid-sampled
+  coordinates; negative patches mined by min CLS cosine similarity
+  (``use_sim_matrix``), derangement (``super_perm``), or uniform permutation
+  (``rand_neg``).
+- ``GeoCorrelationLoss`` (geometry): rendered depth back-projected to 3-D
+  points; correlation kernel = clamped inverse L1 distance; whole-patch
+  (no coordinate subsampling).
+- ``NeRFContrastive``: min/max CLS cosine contrast.
+
+Explicit ``jax.random`` keys replace torch global RNG; ``stop_gradient``
+replaces ``no_grad``; ``where`` replaces in-place masking.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from nerfsos_tpu.ops.grid_sample import grid_sample_bilinear
+
+
+def _safe_norm(x: jnp.ndarray, axis: int, eps: float) -> jnp.ndarray:
+    """||x|| with a finite gradient at x == 0 (torch defines subgradient 0
+    there; jnp.linalg.norm yields NaN — rays whose sigmas are all negative
+    composite to EXACTLY zero semantic vectors, so this matters)."""
+    sq = jnp.sum(x * x, axis=axis, keepdims=True)
+    return jnp.sqrt(jnp.maximum(sq, eps * eps))
+
+
+def get_similarity_matrix(x: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise CLS cosine similarity [B, B] (reference ``utils/image.py:187-190``)."""
+    xn = x / _safe_norm(x, -1, 1e-8)
+    return xn @ xn.T
+
+
+def super_perm(key: jax.Array, size: int) -> jnp.ndarray:
+    """Random permutation with no fixed points (reference ``:306-309``)."""
+    perm = jax.random.permutation(key, size)
+    perm = jnp.where(perm == jnp.arange(size), perm + 1, perm)
+    return perm % size
+
+
+def _norm(t: jnp.ndarray) -> jnp.ndarray:
+    """F.normalize(dim=1, eps=1e-10) parity (safe gradient at zero)."""
+    return t / _safe_norm(t, 1, 1e-10)
+
+
+def _pointwise_recenter(fd: jnp.ndarray) -> jnp.ndarray:
+    """fd -= mean over last two dims; then recenter global mean to the old one
+    (reference ``:316-319``)."""
+    old_mean = fd.mean()
+    fd = fd - fd.mean(axis=(3, 4), keepdims=True)
+    return fd - fd.mean() + old_mean
+
+
+@dataclasses.dataclass(frozen=True)
+class CorrelationLoss:
+    """Appearance correlation loss (reference ``utils/image.py:263-370``).
+
+    ``app_corr_params`` order: (self_shift, self_weight, neg_shift, neg_weight).
+    """
+
+    self_shift: float = 0.18
+    self_weight: float = 0.67
+    neg_shift: float = 0.46
+    neg_weight: float = 0.63
+    feature_samples: int = 11
+    zero_clamp: bool = True
+    stabilize: bool = False
+    pointwise: bool = True
+    use_sim_matrix: bool = True
+    rand_neg: bool = False
+
+    @classmethod
+    def from_params(cls, params: Sequence[float], **kw) -> "CorrelationLoss":
+        s = [float(x) for x in params]
+        return cls(self_shift=s[0], self_weight=s[1], neg_shift=s[2], neg_weight=s[3], **kw)
+
+    # -- pieces -------------------------------------------------------------
+
+    def tensor_correlation(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        """einsum('nchw,ncij->nhwij') (reference ``:297-298``)."""
+        return jnp.einsum("nchw,ncij->nhwij", a, b)
+
+    def sample(self, t: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+        """grid_sample with the reference's coords.permute(0,2,1,3) quirk (``:303-304``)."""
+        return grid_sample_bilinear(t, coords.transpose(0, 2, 1, 3))
+
+    def _clamp_min(self) -> float:
+        return 0.0 if self.zero_clamp else -9999.0
+
+    def helper(self, f1, f2, c1, c2, shift: float) -> jnp.ndarray:
+        fd = self.tensor_correlation(_norm(f1), _norm(f2))
+        if self.pointwise:
+            fd = _pointwise_recenter(fd)
+        fd = jax.lax.stop_gradient(fd)  # reference computes fd under no_grad (:312)
+
+        cd = self.tensor_correlation(_norm(c1), _norm(c2))
+        if self.stabilize:
+            cd = jnp.clip(cd, self._clamp_min(), 0.8)
+        else:
+            cd = jnp.clip(cd, self._clamp_min(), None)
+        return -cd * (fd - shift)
+
+    def negative_index(self, key: jax.Array, batch: int,
+                       sim_matrix: Optional[jnp.ndarray]) -> jnp.ndarray:
+        if self.rand_neg:
+            return jax.random.permutation(key, batch)
+        if sim_matrix is None:
+            return super_perm(key, batch)
+        return jnp.argmin(sim_matrix, axis=0)
+
+    # -- forward ------------------------------------------------------------
+
+    def __call__(
+        self,
+        key: jax.Array,
+        orig_feats: jnp.ndarray,   # [B, C, hf, wf] DINO patch features
+        orig_code: jnp.ndarray,    # [B, sem, P, P] rendered semantic logits
+        sim_matrix: Optional[jnp.ndarray],
+    ) -> jnp.ndarray:
+        k_c1, k_c2, k_neg = jax.random.split(key, 3)
+        B = orig_feats.shape[0]
+        shape = (B, self.feature_samples, self.feature_samples, 2)
+        coords1 = jax.random.uniform(k_c1, shape) * 2.0 - 1.0
+        coords2 = jax.random.uniform(k_c2, shape) * 2.0 - 1.0
+
+        feats = self.sample(orig_feats, coords1)
+        code = self.sample(orig_code, coords1)
+
+        neg_idx = self.negative_index(k_neg, B, sim_matrix)
+        neg_feats = self.sample(orig_feats[neg_idx], coords2)
+        neg_code = self.sample(orig_code[neg_idx], coords2)
+
+        neg_loss = self.helper(feats, neg_feats, code, neg_code, self.neg_shift)
+        self_loss = self.helper(feats, feats, code, code, self.self_shift)
+        return self.neg_weight * neg_loss.mean() + self.self_weight * self_loss.mean()
+
+
+@dataclasses.dataclass(frozen=True)
+class GeoCorrelationLoss(CorrelationLoss):
+    """Geometry correlation loss (reference ``utils/image.py:373-482``).
+
+    ``geo_corr_params`` order matches ``app_corr_params``. No coordinate
+    subsampling — the full P x P patch correlates against itself.
+    """
+
+    self_shift: float = 3.0
+    neg_shift: float = 10.0
+    max_depth: float = 15.0
+
+    def tensor_correlation(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        """Clamped inverse-L1 kernel (reference ``:404-413``)."""
+        x = a[..., :, :, None, None]      # [N, C, H, W, 1, 1]
+        y = b[:, :, None, None, :, :]     # [N, C, 1, 1, I, J]
+        ret = jnp.abs(jnp.sum(jnp.abs(x - y), axis=1))
+        ret = 1.0 / (ret + 5e-2)
+        return jnp.minimum(ret, self.max_depth)
+
+    @staticmethod
+    def depth2pts(depth: jnp.ndarray, ray_o: jnp.ndarray, ray_d: jnp.ndarray) -> jnp.ndarray:
+        """XYZ = o + d * depth, all [B, 3, P, P] (depth [B, 1, P, P])."""
+        return ray_o + ray_d * depth
+
+    def __call__(
+        self,
+        key: jax.Array,
+        depth: jnp.ndarray,        # [B, 1, P, P] rendered depth
+        orig_code: jnp.ndarray,    # [B, sem, P, P]
+        batch_rays: Tuple[jnp.ndarray, jnp.ndarray],  # (ray_o, ray_d) [B, 3, P, P]
+        sim_matrix: Optional[jnp.ndarray],
+    ) -> jnp.ndarray:
+        ray_o, ray_d = batch_rays[0], batch_rays[1]
+        # depth filter: values over max_depth clamp to the max value UNDER it,
+        # computed over the whole batch (reference ``:455``).
+        under = jnp.where(depth < self.max_depth, depth, -jnp.inf)
+        depth = jnp.where(depth > self.max_depth, jnp.max(under), depth)
+
+        feats = self.depth2pts(depth, ray_o, ray_d)
+        code = orig_code
+
+        neg_idx = self.negative_index(key, feats.shape[0], sim_matrix)
+        neg_feats = feats[neg_idx]
+        neg_code = code[neg_idx]
+
+        neg_loss = self.helper(feats, neg_feats, code, neg_code, self.neg_shift)
+        self_loss = self.helper(feats, feats, code, code, self.self_shift)
+        return self.neg_weight * neg_loss.mean() + self.self_weight * self_loss.mean()
+
+
+def nerf_contrastive(embeddings: jnp.ndarray) -> jnp.ndarray:
+    """min/max CLS cosine contrast: -log(max / (max + min)) over off-diagonal
+    pairs (reference ``utils/image.py:192-218``, ``NeRFContrastive``)."""
+    B = embeddings.shape[0]
+    sim = get_similarity_matrix(embeddings)
+    off = ~jnp.eye(B, dtype=bool)
+    lo = jnp.min(jnp.where(off, sim, jnp.inf))
+    hi = jnp.max(jnp.where(off, sim, -jnp.inf))
+    return -jnp.log(hi / (hi + lo))

@@ -1,0 +1,130 @@
+"""End-to-end SOS train-step tests (tiny shapes, CPU mesh)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerfsos_tpu.engines.sos import SOSConfig, make_sos_train_step, online_seg_metrics, sos_loss_fn
+from nerfsos_tpu.engines.state import TrainState, make_optimizer
+from nerfsos_tpu.losses.correlation import CorrelationLoss, GeoCorrelationLoss
+from nerfsos_tpu.models.extractor import VitExtractor
+from nerfsos_tpu.models import vit as vit_lib
+from nerfsos_tpu.models.nerf import NeRFConfig, NeRFNet
+from nerfsos_tpu.ops.kmeans import kmeans, segmap_cluster
+from nerfsos_tpu.parallel import mesh as pmesh
+from nerfsos_tpu.utils.metrics import binary_iou, seg_ari
+
+
+B, P, STRIDE = 2, 8, 2
+
+
+@pytest.fixture(scope="module")
+def sos_setup():
+    net_cfg = NeRFConfig(netwidth=32, netdepth=2, netwidth_fine=32, netdepth_fine=2,
+                         n_samples=4, n_importance=4, multires=4, multires_views=2,
+                         use_semantics=True, sem_with_coord=True, ray_block=B * P * P)
+    net = NeRFNet(net_cfg)
+    params = net.init(jax.random.PRNGKey(0))
+
+    ext = VitExtractor("dino_vits16")
+    ext.vit = vit_lib.VisionTransformer(patch_size=16, embed_dim=32, depth=2,
+                                        num_heads=2, pos_embed_size=224)
+    dino_params = ext.init(jax.random.PRNGKey(1))
+
+    cfg = SOSConfig(batch_size=B, patch_size=P, patch_stride=STRIDE)
+    app = CorrelationLoss.from_params([0.18, 1, 0.46, 1])
+    geo = GeoCorrelationLoss.from_params([0.5, 1, 3, 1])
+    return net, params, ext, dino_params, cfg, app, geo
+
+
+def _batch(key):
+    rays = jax.random.normal(key, (2, B * P * P, 3))
+    target = jax.random.uniform(jax.random.PRNGKey(9), (B * P * P, 3))
+    masks = (jax.random.uniform(jax.random.PRNGKey(10), (B * P * P, 1)) > 0.5).astype(jnp.int32)
+    return {"rays": rays, "target": target, "masks": masks}
+
+
+def test_sos_loss_terms_present_and_finite(sos_setup, key):
+    net, params, ext, dino_params, cfg, app, geo = sos_setup
+    loss, metrics = sos_loss_fn(net, ext, app, geo, cfg, params, dino_params,
+                                _batch(key), key, 1.0, 4.0)
+    for k in ["loss", "img0", "img1", "psnr", "corr0", "corr1",
+              "geo_corr0", "geo_corr1", "contrast", "sem0", "sem1"]:
+        assert k in metrics and np.isfinite(float(metrics[k])), k
+    # corr terms actually contribute
+    assert float(jnp.abs(metrics["corr0"])) > 0
+    assert float(jnp.abs(metrics["geo_corr0"])) > 0
+
+
+def test_sos_grads_finite_including_sem_head(sos_setup, key):
+    net, params, ext, dino_params, cfg, app, geo = sos_setup
+    grads = jax.grad(
+        lambda p: sos_loss_fn(net, ext, app, geo, cfg, p, dino_params,
+                              _batch(key), key, 1.0, 4.0)[0]
+    )(params)
+    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+    assert all(bool(jnp.all(jnp.isfinite(v))) for _, v in flat)
+    sem_g = sum(float(jnp.sum(jnp.abs(v))) for p, v in flat if "sem_" in jax.tree_util.keystr(p))
+    assert sem_g > 0  # correlation losses train the semantic head
+
+
+def test_sos_train_step_frozen_backbone(sos_setup, key):
+    net, params, ext, dino_params, cfg, app, geo = sos_setup
+    tx = make_optimizer(5e-4, fix_backbone=True, params=params)
+    state = TrainState.create(params, tx)
+    step = make_sos_train_step(net, ext, app, geo, cfg, 1.0, 4.0, donate=False)
+    new_state, metrics = step(state, dino_params, _batch(key), key)
+    assert int(new_state.step) == 1 and np.isfinite(float(metrics["loss"]))
+    same = jax.tree_util.tree_map(lambda a, b: bool(jnp.all(a == b)), state.params, new_state.params)
+    flat = {jax.tree_util.keystr(p): v for p, v in jax.tree_util.tree_flatten_with_path(same)[0]}
+    assert all(v for k, v in flat.items() if "pts_linears" in k)
+    assert any(not v for k, v in flat.items() if "sem_" in k)
+
+
+def test_sos_step_on_8_device_mesh(sos_setup, key):
+    net, params, ext, dino_params, cfg, app, geo = sos_setup
+    m = pmesh.make_mesh(2)  # B=2 patches over 2 devices
+    tx = make_optimizer(5e-4)
+    state = jax.device_put(TrainState.create(params, tx), pmesh.replicated(m))
+    dino_r = jax.device_put(dino_params, pmesh.replicated(m))
+    step = make_sos_train_step(net, ext, app, geo, cfg, 1.0, 4.0, mesh=m, donate=False)
+    batch = _batch(key)
+    batch = {
+        "rays": jax.device_put(batch["rays"], pmesh.data_sharding(m, 1, 3)),
+        "target": jax.device_put(batch["target"], pmesh.data_sharding(m, 0, 2)),
+        "masks": jax.device_put(batch["masks"], pmesh.data_sharding(m, 0, 2)),
+    }
+    new_state, metrics = step(state, dino_r, batch, key)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_online_seg_metrics(rng):
+    sem = rng.normal(size=(B * P * P, 2)).astype(np.float32)
+    masks = rng.integers(0, 2, (B * P * P, 1))
+    out = online_seg_metrics(sem, masks, B, P, clus_no_sfm=True)
+    for k in ["clus_ari", "clus_ari_fg", "sem_ari", "sem_ari_fg"]:
+        assert k in out and np.isfinite(out[k])
+
+
+def test_kmeans_separates_blobs(key):
+    a = jax.random.normal(key, (50, 2)) * 0.1 + jnp.array([0.0, 0.0])
+    b = jax.random.normal(jax.random.PRNGKey(5), (50, 2)) * 0.1 + jnp.array([5.0, 5.0])
+    x = jnp.concatenate([a, b])
+    labels, cents = kmeans(key, x, 2)
+    l = np.array(labels)
+    assert len(np.unique(l[:50])) == 1 and len(np.unique(l[50:])) == 1
+    assert l[0] != l[50]
+
+
+def test_segmap_cluster_shape(key):
+    x = jax.random.normal(key, (6, 7, 2))
+    out = segmap_cluster(x, 2, key)
+    assert out.shape == (6, 7, 1)
+
+
+def test_seg_metrics_numpy():
+    gt = np.array([0, 0, 1, 1])
+    pred = np.array([1, 1, 0, 0])  # perfect anti-correlation -> ARI 1
+    assert seg_ari(gt, pred)["ari"] == 1.0
+    assert binary_iou(pred, gt, adaptive=True) == 1.0
+    assert binary_iou(pred, gt, adaptive=False) == 0.0
