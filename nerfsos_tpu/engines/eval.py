@@ -48,12 +48,15 @@ def _segmap_cluster_np(prob: np.ndarray, n_clusters: int) -> np.ndarray:
     return km.labels_.reshape(H, W, 1)
 
 
-def make_render_fn(net: NeRFNet, near: float, far: float):
-    """One jitted full-image render (compiled once per image shape)."""
+def make_render_fn(net: NeRFNet, near: float, far: float, **net_kwargs):
+    """One jitted full-image render (compiled once per image shape).
+
+    ``net_kwargs`` threads model statics (e.g. mip-NeRF ``radii``).
+    """
 
     @jax.jit
     def render(params, rays):
-        return net(params, rays, (near, far), train=False)
+        return net(params, rays, (near, far), train=False, **net_kwargs)
 
     return render
 
@@ -143,10 +146,11 @@ def evaluate(
     find_fg: bool = True,
     dino: Optional[VitExtractor] = None,
     lpips_metric=None,
+    **net_kwargs,
 ) -> Dict[str, float]:
     """Full test-set sweep. Parity: reference ``engines/eval.py:96-212``."""
     near, far = dataset.near_far()
-    render_fn = make_render_fn(net, near, far)
+    render_fn = make_render_fn(net, near, far, **net_kwargs)
     if dino is None:
         find_fg = False
 
@@ -231,10 +235,11 @@ def render_video(
     n_cluster: int = 2,
     find_fg: bool = True,
     dino: Optional[VitExtractor] = None,
+    **net_kwargs,
 ) -> None:
     """Exhibit-path mp4 render. Parity: reference ``engines/eval.py:215-274``."""
     near, far = dataset.near_far()
-    render_fn = make_render_fn(net, near, far)
+    render_fn = make_render_fn(net, near, far, **net_kwargs)
     if dino is None:
         find_fg = False
 
@@ -290,11 +295,17 @@ def export_density(
     shape = pts.shape[:3]
     flat = pts.reshape(-1, 3)
 
-    which = "fine" if not net.cfg.shared_fine else "coarse"
+    is_mip = hasattr(net, "ray_shape")  # MipNeRFNet queries (mean, cov)
+    which = "coarse" if (is_mip or net.cfg.shared_fine) else "fine"
 
     @jax.jit
     def query(params, pts_block):
-        raw = net._apply(params, which, pts_block[:, None, :], jnp.zeros_like(pts_block))
+        pts = pts_block[:, None, :]
+        dirs = jnp.zeros_like(pts_block)
+        if is_mip:
+            raw = net._apply(params, pts, jnp.zeros_like(pts), dirs)
+            return jax.nn.relu(raw[:, 0, -1])
+        raw = net._apply(params, which, pts, dirs)
         sem_dim = net.cfg.sem_dim if net.cfg.use_semantics else 0
         sigma_idx = raw.shape[-1] - 1 - sem_dim  # sigma sits before semantics
         return jax.nn.relu(raw[:, 0, sigma_idx])

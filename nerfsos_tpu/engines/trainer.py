@@ -29,9 +29,11 @@ def rgb_loss_fn(
     near: float,
     far: float,
     rgb_w: float = 1.0,
+    net_kwargs: Optional[Dict[str, Any]] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Coarse+fine MSE (reference ``engines/trainer.py:113-121``)."""
-    out = net(params, batch["rays"], (near, far), key=key, train=True)
+    out = net(params, batch["rays"], (near, far), key=key, train=True,
+              **(net_kwargs or {}))
     img_loss = img2mse(out["rgb"], batch["target"])
     loss = rgb_w * img_loss
     metrics = {"img1": img_loss, "psnr": mse2psnr(img_loss)}
@@ -50,16 +52,19 @@ def make_rgb_train_step(
     rgb_w: float = 1.0,
     mesh: Optional[Mesh] = None,
     donate: bool = True,
+    net_kwargs: Optional[Dict[str, Any]] = None,
 ):
     """Build the jitted RGB train step.
 
     Batch contract: ``rays [2, B, 3]`` (origins, dirs), ``target [B, 3]``.
     With a mesh, rays/target are sharded along B and the state is replicated.
+    ``net_kwargs`` threads model-specific statics (e.g. mip-NeRF ``radii``).
     """
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray], key: jax.Array):
         (_, metrics), grads = jax.value_and_grad(
-            lambda p: rgb_loss_fn(net, p, batch, key, near, far, rgb_w), has_aux=True
+            lambda p: rgb_loss_fn(net, p, batch, key, near, far, rgb_w, net_kwargs),
+            has_aux=True,
         )(state.params)
         return state.apply_gradients(grads), metrics
 
@@ -68,10 +73,11 @@ def make_rgb_train_step(
         kwargs["donate_argnums"] = (0,)
     if mesh is not None:
         rep = NamedSharding(mesh, P())
+        data1 = NamedSharding(mesh, P("data"))
         kwargs["in_shardings"] = (
             rep,  # state
             {"rays": NamedSharding(mesh, P(None, "data")),
-             "target": NamedSharding(mesh, P("data"))},
+             "target": data1, "masks": data1},
             rep,  # key
         )
         kwargs["out_shardings"] = (rep, rep)

@@ -1,0 +1,114 @@
+"""End-to-end CLI tests: train a few steps + all eval modes on a synthetic scene."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+import run_nerf
+from nerfsos_tpu.data.poses import pose_spherical
+
+
+@pytest.fixture(scope="module")
+def scene(tmp_path_factory):
+    """Tiny blender scene + generated dataset + shared basedir."""
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("scene")
+    H = W = 20
+    rng = np.random.default_rng(0)
+    for s, n in [("train", 3), ("val", 1), ("test", 1)]:
+        os.makedirs(root / s, exist_ok=True)
+        frames = []
+        for i in range(n):
+            img = (rng.random((H, W, 4)) * 255).astype(np.uint8)
+            Image.fromarray(img).save(root / s / f"r_{i}.png")
+            frames.append({
+                "file_path": f"{s}/r_{i}",
+                "transform_matrix": pose_spherical(360 * i / n, -30, 4.0).tolist(),
+            })
+        with open(root / f"transforms_{s}.json", "w") as f:
+            json.dump({"camera_angle_x": 0.69, "frames": frames}, f)
+    basedir = tmp_path_factory.mktemp("logs")
+    return str(root), str(basedir)
+
+
+def _args(scene, basedir, *extra):
+    parser = run_nerf.create_arg_parser()
+    base = [
+        "--expname", "smoke", "--basedir", basedir,
+        "--data_path", scene, "--data_type", "blender",
+        "--test_skip", "1", "--white_bkgd",
+        "--netdepth", "2", "--netwidth", "16", "--netdepth_fine", "2",
+        "--netwidth_fine", "16", "--N_samples", "4", "--N_importance", "4",
+        "--multires", "2", "--multires_views", "2",
+        "--batch_size", "64", "--max_steps", "6",
+        "--i_print", "3", "--i_weights", "5", "--i_testset", "100000",
+        "--i_video", "100000", "--ray_chunk", "512", "--fast_mode",
+        "--no_semantics",
+    ]
+    args, _ = parser.parse_known_args(base + list(extra))
+    return args
+
+
+def test_cli_train_creates_run_dir_and_ckpt(scene):
+    data, basedir = scene
+    run_nerf.main(_args(data, basedir))
+    run_dir = os.path.join(basedir, "smoke")
+    assert os.path.exists(os.path.join(run_dir, "args.txt"))
+    assert os.path.exists(os.path.join(run_dir, "checkpoints", "00000005"))
+    assert os.path.exists(os.path.join(run_dir, "checkpoints", "last"))
+    # final eval artifacts
+    assert os.path.exists(os.path.join(run_dir, "eval", "log.json"))
+    assert os.path.exists(os.path.join(run_dir, "tensorboard", "scalars.jsonl"))
+
+
+def test_cli_eval_mode_resumes_latest(scene):
+    data, basedir = scene
+    run_nerf.main(_args(data, basedir, "--eval"))
+    log = json.load(open(os.path.join(basedir, "smoke", "eval", "log.json")))
+    assert "total_psnr" in log
+
+
+def test_cli_eval_video_mode(scene):
+    data, basedir = scene
+    run_nerf.main(_args(data, basedir, "--eval_video"))
+    assert os.path.exists(os.path.join(basedir, "smoke", "rgb_smoke.mp4"))
+
+
+def test_cli_eval_vol_mode(scene):
+    data, basedir = scene
+    run_nerf.main(_args(data, basedir, "--eval_vol",
+                        "--vol_extents", "0.2", "--vol_size", "0.02"))
+    assert os.path.exists(os.path.join(basedir, "smoke", "eval", "density.mrc"))
+
+
+def test_cli_sos_invariant_validated(scene):
+    data, basedir = scene
+    with pytest.raises(SystemExit):
+        run_nerf.main(_args(data, basedir, "--patch_tune", "--use_correlation"))
+
+
+def test_cli_mipnerf_smoke(scene):
+    data, basedir = scene
+    args = _args(data, basedir, "--mipnerf", "--expname", "smoke_mip",
+                 "--max_steps", "3", "--i_weights", "100000")
+    run_nerf.main(args)
+    assert os.path.exists(os.path.join(basedir, "smoke_mip", "eval", "log.json"))
+
+
+def test_cli_config_file_reads_reference_format(scene, tmp_path):
+    data, basedir = scene
+    cfg = tmp_path / "lego_like.txt"
+    cfg.write_text(
+        "no_batching = True\nN_rand = 32\nlrate_decay = 500\n"
+        "precrop_iters = 2\nprecrop_frac = 0.5\n"
+    )
+    args = _args(data, basedir, "--config", str(cfg),
+                 "--expname", "smoke_view", "--max_steps", "4",
+                 "--i_weights", "100000")
+    assert args.no_batching is True
+    assert args.batch_size == 64  # explicit CLI flag overrides config N_rand
+    assert args.decay_step == 500  # lrate_decay alias
+    run_nerf.main(args)  # exercises the ViewDataset precrop path
+    assert os.path.exists(os.path.join(basedir, "smoke_view", "eval", "log.json"))

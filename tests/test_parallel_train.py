@@ -70,10 +70,11 @@ def test_dp_train_step_runs_on_8_device_mesh():
     step = make_rgb_train_step(net, 1.0, 4.0, mesh=m, donate=False)
     B = 64
     batch = {"rays": jax.random.normal(jax.random.PRNGKey(1), (2, B, 3)),
-             "target": jnp.zeros((B, 3))}
+             "target": jnp.zeros((B, 3)), "masks": jnp.zeros((B, 1))}
     batch = {
         "rays": jax.device_put(batch["rays"], pmesh.data_sharding(m, 1, 3)),
         "target": jax.device_put(batch["target"], pmesh.data_sharding(m, 0, 2)),
+        "masks": jax.device_put(batch["masks"], pmesh.data_sharding(m, 0, 2)),
     }
     new_state, metrics = step(state, batch, jax.random.PRNGKey(2))
     assert int(new_state.step) == 1
@@ -86,7 +87,8 @@ def test_dp_matches_single_device_gradients():
     tx = make_optimizer(1e-2)
     B = 64
     batch = {"rays": jax.random.normal(jax.random.PRNGKey(1), (2, B, 3)),
-             "target": jax.random.uniform(jax.random.PRNGKey(3), (B, 3))}
+             "target": jax.random.uniform(jax.random.PRNGKey(3), (B, 3)),
+             "masks": jnp.zeros((B, 1))}
     key = jax.random.PRNGKey(2)
 
     s1 = TrainState.create(params, tx)
@@ -99,6 +101,7 @@ def test_dp_matches_single_device_gradients():
     sb = {
         "rays": jax.device_put(batch["rays"], pmesh.data_sharding(m, 1, 3)),
         "target": jax.device_put(batch["target"], pmesh.data_sharding(m, 0, 2)),
+        "masks": jax.device_put(batch["masks"], pmesh.data_sharding(m, 0, 2)),
     }
     out8, m8 = step8(s8, sb, key)
 
