@@ -137,3 +137,38 @@ def importance_sample(
 def points_along_rays(rays_o: jnp.ndarray, rays_d: jnp.ndarray, z_vals: jnp.ndarray) -> jnp.ndarray:
     """pts = o + d * z. Returns [..., S, 3]."""
     return rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
+
+
+def layered_sample(
+    key: jax.Array | None,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    plane_normals: jnp.ndarray,
+    plane_offsets: jnp.ndarray,
+    perturb: float = 0.0,
+) -> jnp.ndarray:
+    """Plane-sweep sampling: z at each ray/plane intersection.
+
+    Parity: reference ``LayeredSampler`` (``models/sampler.py:173-260``; unused
+    in its main path): z = (D - o.n) / (d.n) per plane; the exotic perturb>=2
+    modes are stratified jitter (2<=p<4) or truncated-Gaussian edge jitter
+    (p>=4). Plane offsets may be trainable parameters upstream of this call.
+    """
+    a = plane_offsets[None, :] - jnp.sum(rays_o[:, None, :] * plane_normals[None], -1)
+    b = jnp.sum(rays_d[:, None, :] * plane_normals[None], -1)
+    z_vals = a / b
+
+    if perturb >= 2.0 and perturb < 4.0:
+        mids = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+        upper = jnp.concatenate([mids, z_vals[..., -1:]], -1)
+        lower = jnp.concatenate([z_vals[..., :1], mids], -1)
+        t_rand = jax.random.uniform(key, z_vals.shape)
+        z_vals = lower + (upper - lower) * t_rand
+    elif perturb >= 4.0:
+        t_rand = jnp.clip((perturb - 4.0) * jax.random.normal(key, z_vals.shape), -1.0, 1.0)
+        step = 0.5 * (z_vals[..., 1:] - z_vals[..., :-1])
+        fwd = jnp.concatenate([step, jnp.zeros_like(z_vals[..., :1])], -1)
+        bwd = jnp.concatenate([jnp.zeros_like(z_vals[..., :1]), step], -1)
+        z_vals = z_vals + jnp.where(t_rand > 0, t_rand * fwd, 0.0)
+        z_vals = z_vals + jnp.where(t_rand < 0, t_rand * bwd, 0.0)
+    return z_vals

@@ -119,6 +119,40 @@ class VitExtractor:
         return out["normed"][:, 1:, :]
 
 
+class Dino:
+    """Alternative local-weights DINO loader (reference ``models/dino.py:27-99``,
+    the commented-out path at its ``run_nerf.py:326-327``): same backbone as
+    ``VitExtractor`` but constructed from an arch name + checkpoint path, with
+    a last-layer attention accessor."""
+
+    def __init__(self, arch: str = "vit_small", patch_size: int = 16,
+                 ckpt_path: str = "", checkpoint_key: str = "teacher", fix: bool = True):
+        name = {"vit_small": "dino_vits", "vit_base": "dino_vitb"}[arch] + str(patch_size)
+        self._ext = VitExtractor(name)
+        self.fix = fix
+        if ckpt_path:
+            import torch
+
+            sd = torch.load(ckpt_path, map_location="cpu")
+            if checkpoint_key in sd:
+                sd = sd[checkpoint_key]
+            sd = {k.replace("module.", "").replace("backbone.", ""): v for k, v in sd.items()}
+            self._ext.params = vit_lib.torch_vit_state_to_flax(
+                {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}, depth=12
+            )
+        else:
+            self._ext.init(jax.random.PRNGKey(0))
+
+    @property
+    def params(self):
+        return self._ext.params
+
+    def forward_pass(self, x: jnp.ndarray):
+        """Returns (cls_token, last-layer attention) like the reference."""
+        out = self._ext.get_vit_attn_feat(x)
+        return out["cls_"], out["attn"]
+
+
 def attn_cosine_sim(x: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
     """Pairwise token cosine similarity (reference ``models/extractor.py:12-17``)."""
     x = x[0]

@@ -63,6 +63,7 @@ class NeRFConfig:
     ray_block: int = 4096  # rays per compiled block of the render scan
     remat: bool = True  # rematerialize block bodies in backward
     compute_dtype: str = "float32"  # MLP activation dtype ("bfloat16" for MXU)
+    fused_field: bool = False  # Pallas fused PE+MLP kernel (ops/pallas)
 
     @property
     def shared_fine(self) -> bool:
@@ -110,7 +111,17 @@ class NeRFNet:
 
     def _apply(self, params: Dict[str, Any], which: str, pts: jnp.ndarray,
                viewdirs: Optional[jnp.ndarray]) -> jnp.ndarray:
-        if which == "fine" and self.fine is not None:
+        fine = which == "fine" and self.fine is not None
+        if self.cfg.fused_field and viewdirs is not None:
+            from nerfsos_tpu.ops.pallas.fused_field import fused_field_apply, supports_fused
+
+            if supports_fused(self.cfg):
+                depth = self.cfg.netdepth_fine if fine else self.cfg.netdepth
+                return fused_field_apply(
+                    params["fine" if fine else "coarse"], pts, viewdirs,
+                    self.cfg, depth=depth,
+                )
+        if fine:
             return self.fine.apply({"params": params["fine"]}, pts, viewdirs)
         return self.coarse.apply({"params": params["coarse"]}, pts, viewdirs)
 

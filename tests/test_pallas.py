@@ -1,0 +1,99 @@
+"""Fused Pallas field kernel: parity vs the XLA field (interpret mode on CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerfsos_tpu.models.nerf import NeRFConfig, NeRFNet
+from nerfsos_tpu.ops.pallas.fused_field import (
+    _xla_reference,
+    fused_field_apply,
+    supports_fused,
+)
+
+
+@pytest.fixture(scope="module")
+def small_cfg_net():
+    cfg = NeRFConfig(netdepth=8, netwidth=32, netdepth_fine=8, netwidth_fine=32,
+                     n_samples=4, n_importance=4, multires=10, multires_views=4,
+                     use_semantics=True, sem_with_coord=True, ray_block=64)
+    net = NeRFNet(cfg)
+    return cfg, net, net.init(jax.random.PRNGKey(0))
+
+
+def test_supports_fused_detection(small_cfg_net):
+    cfg, _, _ = small_cfg_net
+    assert supports_fused(cfg)
+    assert not supports_fused(NeRFConfig(conv_embed=True))
+    assert not supports_fused(NeRFConfig(use_semantics=True, sem_layer=4))
+    assert not supports_fused(NeRFConfig(use_viewdirs=False))
+
+
+def test_fused_matches_xla_field(small_cfg_net, key):
+    cfg, net, params = small_cfg_net
+    pts = jax.random.normal(key, (37, 5, 3))
+    dirs = jax.random.normal(jax.random.PRNGKey(1), (37, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    ref = net.coarse.apply({"params": params["coarse"]}, pts, dirs)
+    fused = fused_field_apply(params["coarse"], pts, dirs, cfg)
+    assert fused.shape == ref.shape
+    np.testing.assert_allclose(np.array(fused), np.array(ref), atol=2e-5)
+
+
+def test_fused_matches_without_semantics(key):
+    cfg = NeRFConfig(netdepth=4, netwidth=32, n_samples=4, n_importance=0,
+                     multires=6, multires_views=3, use_semantics=False)
+    net = NeRFNet(cfg)
+    params = net.init(key)
+    pts = jax.random.normal(key, (20, 3, 3))
+    dirs = jax.random.normal(jax.random.PRNGKey(2), (20, 3))
+    ref = net.coarse.apply({"params": params["coarse"]}, pts, dirs)
+    fused = fused_field_apply(params["coarse"], pts, dirs, cfg)
+    np.testing.assert_allclose(np.array(fused), np.array(ref), atol=2e-5)
+
+
+def test_fused_gradients_match_xla(small_cfg_net, key):
+    """custom_vjp backward (XLA remat) must match grads of the plain field."""
+    cfg, net, params = small_cfg_net
+    pts = jax.random.normal(key, (16, 4, 3))
+    dirs = jax.random.normal(jax.random.PRNGKey(3), (16, 3))
+
+    def loss_fused(p):
+        return jnp.sum(fused_field_apply(p, pts, dirs, cfg) ** 2)
+
+    def loss_xla(p):
+        return jnp.sum(net.coarse.apply({"params": p}, pts, dirs) ** 2)
+
+    g_f = jax.grad(loss_fused)(params["coarse"])
+    g_x = jax.grad(loss_xla)(params["coarse"])
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(g_f)[0],
+        jax.tree_util.tree_flatten_with_path(g_x)[0],
+    ):
+        np.testing.assert_allclose(np.array(a), np.array(b), atol=1e-3, rtol=1e-4,
+                                   err_msg=jax.tree_util.keystr(path))
+
+
+def test_fused_end_to_end_render_matches(small_cfg_net, key):
+    cfg, net, params = small_cfg_net
+    fused_net = NeRFNet(NeRFConfig(**{**vars(cfg), "fused_field": True}))
+    rays = jax.random.normal(key, (2, 18, 3))
+    a = net(params, rays, (1.0, 4.0), key=key, train=False)
+    b = fused_net(params, rays, (1.0, 4.0), key=key, train=False)
+    np.testing.assert_allclose(np.array(a["rgb"]), np.array(b["rgb"]), atol=1e-5)
+    np.testing.assert_allclose(np.array(a["semantics"]), np.array(b["semantics"]), atol=1e-5)
+    np.testing.assert_allclose(np.array(a["depth"]), np.array(b["depth"]), atol=1e-3)
+
+
+def test_xla_reference_twin_matches_field(small_cfg_net, key):
+    """The backward's jnp twin must itself equal the flax field."""
+    cfg, net, params = small_cfg_net
+    from nerfsos_tpu.ops.pallas.fused_field import _flatten_mlp_params
+
+    pts = jax.random.normal(key, (11, 3))
+    dirs = jax.random.normal(jax.random.PRNGKey(4), (11, 3))
+    ws, bs = _flatten_mlp_params(params["coarse"]["mlp"], cfg.netdepth, True)
+    ref = net.coarse.apply({"params": params["coarse"]}, pts[:, None, :], dirs)[:, 0]
+    twin = _xla_reference(ws, bs, (pts, dirs), cfg.netdepth, (4,), cfg.multires,
+                          cfg.multires_views, True, True)
+    np.testing.assert_allclose(np.array(twin), np.array(ref), atol=2e-5)

@@ -1,0 +1,99 @@
+"""Offline tooling tests (get_metrics, depth2points, misc, projector, pose viz)."""
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerfsos_tpu.tools.depth2points import depth_to_points
+from nerfsos_tpu.tools.fourier_projector import (
+    back_project,
+    fourier_shift_2d,
+    project_volume,
+    project_volume_fourier,
+)
+from nerfsos_tpu.tools.get_metrics import cal_seg_metrics, compute_iou
+from nerfsos_tpu.tools.misc_tools import convert_planes, images2video, resize_imgs, reverse_mask
+from nerfsos_tpu.tools.vis_cam_pose import plot_poses
+
+
+def test_compute_iou_perfect_and_disjoint():
+    a = np.array([0, 0, 1, 1])
+    np.testing.assert_allclose(compute_iou(a, a), [1.0, 1.0])
+    np.testing.assert_allclose(compute_iou(a, 1 - a), [0.0, 0.0])
+
+
+def test_cal_seg_metrics_on_disk(tmp_path, rng):
+    import cv2
+
+    os.makedirs(tmp_path / "gt"), os.makedirs(tmp_path / "pred")
+    m = (rng.random((16, 16)) > 0.5).astype(np.uint8) * 255
+    for d, arr in [("gt", m), ("pred", m)]:
+        cv2.imwrite(str(tmp_path / d / "000.png"), np.repeat(arr[..., None], 3, -1))
+    out = cal_seg_metrics(str(tmp_path / "gt"), str(tmp_path / "pred"))
+    assert out["iou"] == 1.0 and out["ari"] == 1.0 and out["n"] == 1
+
+
+def test_depth_to_points_center_pixel():
+    H = W = 5
+    K = np.array([[10.0, 0, 2.5], [0, 10.0, 2.5], [0, 0, 1]])
+    depth = np.full((H, W), 2.0)
+    pts = depth_to_points(depth, K)
+    # the pixel at the principal point back-projects onto the z axis
+    center = pts.reshape(H, W, 3)[2, 2]
+    np.testing.assert_allclose(center, [(2 - 2.5) / 10 * 2, (2 - 2.5) / 10 * 2, 2.0], atol=1e-6)
+
+
+def test_misc_tools_roundtrip(tmp_path, rng):
+    from nerfsos_tpu.data.image_io import imread, imwrite
+
+    src = tmp_path / "imgs"
+    os.makedirs(src)
+    for i in range(3):
+        imwrite(str(src / f"{i}.png"), (rng.random((12, 12, 3)) * 255).astype(np.uint8))
+
+    images2video(str(src), str(tmp_path / "v.mp4"), fps=3)
+    assert os.path.getsize(tmp_path / "v.mp4") > 0
+
+    resize_imgs(str(src), str(tmp_path / "small"), factor=2)
+    assert imread(str(tmp_path / "small" / "0.png")).shape[:2] == (6, 6)
+
+    reverse_mask(str(src), str(tmp_path / "rev"))
+    orig = imread(str(src / "0.png"))
+    rev = imread(str(tmp_path / "rev" / "0.png"))
+    np.testing.assert_array_equal(rev, 255 - orig)
+
+    planes = rng.random((4, 6)).astype(np.float32)
+    np.save(tmp_path / "planes.npy", planes)
+    convert_planes(str(tmp_path / "planes.npy"), str(tmp_path / "planesD.npy"))
+    out = np.load(tmp_path / "planesD.npy")
+    np.testing.assert_allclose(out[:, 3], np.sum(planes[:, :3] * planes[:, 3:], -1), atol=1e-6)
+
+
+def test_fourier_projection_matches_real_space(rng):
+    vol = jnp.array(rng.random((8, 8, 8)).astype(np.float32))
+    for axis in range(3):
+        real = np.array(project_volume(vol, axis))
+        four = np.array(project_volume_fourier(vol, axis))
+        np.testing.assert_allclose(four, real, atol=1e-4)
+
+
+def test_fourier_shift_integer(rng):
+    img = rng.random((8, 8)).astype(np.float32)
+    ft = jnp.fft.fft2(jnp.array(img))
+    shifted = np.real(np.array(jnp.fft.ifft2(fourier_shift_2d(ft, dx=1, dy=0))))
+    np.testing.assert_allclose(shifted, np.roll(img, 1, axis=1), atol=1e-5)
+
+
+def test_back_project_adjoint_shape(rng):
+    img = jnp.array(rng.random((6, 7)).astype(np.float32))
+    vol = back_project(img, depth=5, axis=0)
+    assert vol.shape == (5, 6, 7)
+    np.testing.assert_allclose(np.array(project_volume(vol, 0)), np.array(img), atol=1e-6)
+
+
+def test_plot_poses(tmp_path, rng):
+    poses = np.tile(np.eye(4)[:3][None], (4, 1, 1))
+    poses[:, :3, 3] = rng.random((4, 3))
+    plot_poses(poses, str(tmp_path / "p.png"))
+    assert os.path.getsize(tmp_path / "p.png") > 1000
