@@ -70,6 +70,21 @@ class ConfigArgumentParser(argparse.ArgumentParser):
         return super().parse_known_args(argv, namespace)
 
 
+def compare_args(a: argparse.Namespace, b: argparse.Namespace,
+                 keys: List[str]) -> bool:
+    """True iff the listed hyper-parameters agree (reference ``utils/config.py:34-45``,
+    the dormant arg-reload check at its ``run_nerf.py:282-291``)."""
+    return all(getattr(a, k, None) == getattr(b, k, None) for k in keys)
+
+
+def update_args(dst: argparse.Namespace, src: argparse.Namespace,
+                keys: List[str]) -> argparse.Namespace:
+    """Copy the listed hyper-parameters from src (reference ``utils/config.py:47-57``)."""
+    for k in keys:
+        setattr(dst, k, getattr(src, k))
+    return dst
+
+
 def write_args_file(args: argparse.Namespace, path: str) -> None:
     """Snapshot resolved args (reference dumps ``args.txt``, run_nerf.py:270-274)."""
     with open(path, "w") as f:

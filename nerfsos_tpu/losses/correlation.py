@@ -197,6 +197,25 @@ class GeoCorrelationLoss(CorrelationLoss):
         return self.neg_weight * neg_loss.mean() + self.self_weight * self_loss.mean()
 
 
+def simclr_contrastive(emb_i: jnp.ndarray, emb_j: jnp.ndarray,
+                       temperature: float = 0.5) -> jnp.ndarray:
+    """SimCLR NT-Xent loss over paired embeddings.
+
+    Parity: reference ``ContrastiveLossELI5`` (``utils/image.py:221-259``;
+    carries a live debugger break upstream and is unused in the main path) —
+    vectorized instead of the per-pair Python loop.
+    """
+    zi = emb_i / _safe_norm(emb_i, -1, 1e-12)
+    zj = emb_j / _safe_norm(emb_j, -1, 1e-12)
+    z = jnp.concatenate([zi, zj], axis=0)  # [2N, D]
+    sim = get_similarity_matrix(z) / temperature
+    n = emb_i.shape[0]
+    logits = jnp.where(jnp.eye(2 * n, dtype=bool), -jnp.inf, sim)
+    pos_idx = jnp.concatenate([jnp.arange(n) + n, jnp.arange(n)])
+    log_prob = logits - jax.nn.logsumexp(logits, axis=1, keepdims=True)
+    return -jnp.mean(log_prob[jnp.arange(2 * n), pos_idx])
+
+
 def nerf_contrastive(embeddings: jnp.ndarray) -> jnp.ndarray:
     """min/max CLS cosine contrast: -log(max / (max + min)) over off-diagonal
     pairs (reference ``utils/image.py:192-218``, ``NeRFContrastive``)."""

@@ -94,7 +94,15 @@ class NeRFField(nn.Module):
             compute_dtype=self.compute_dtype,
             name="mlp",
         )
-        return mlp(emb, demb)
+        # Flatten [..., S, C] -> [M, C] so every Dense lowers to a clean 2-D
+        # matmul: 3-D dot_generals over the sample axis force padded layout
+        # copies on TPU (observed 2-42x HBM expansion in XLA memory dumps).
+        lead = emb.shape[:-1]
+        out = mlp(
+            emb.reshape(-1, emb.shape[-1]),
+            demb.reshape(-1, demb.shape[-1]) if demb is not None else None,
+        )
+        return out.reshape(*lead, out.shape[-1])
 
 
 class MipNeRFField(nn.Module):
@@ -139,7 +147,12 @@ class MipNeRFField(nn.Module):
             compute_dtype=self.compute_dtype,
             name="mlp",
         )
-        return mlp(emb, demb)
+        lead = emb.shape[:-1]
+        out = mlp(
+            emb.reshape(-1, emb.shape[-1]),
+            demb.reshape(-1, demb.shape[-1]) if demb is not None else None,
+        )
+        return out.reshape(*lead, out.shape[-1])
 
 
 class VoxelField(nn.Module):

@@ -113,3 +113,43 @@ def test_debug_guards(key):
     assert_finite({"a": jnp.ones(3)})
     with pytest.raises(FloatingPointError):
         assert_finite({"a": jnp.array([1.0, jnp.nan])})
+
+
+def test_voxel_nerf_net_end_to_end(key):
+    from nerfsos_tpu.models.nerf import NeRFConfig
+    from nerfsos_tpu.models.voxel_nerf import VoxelNeRFNet
+
+    cfg = NeRFConfig(n_samples=4, n_importance=4, ray_block=64)
+    net = VoxelNeRFNet(cfg, vol_size=(8, 8, 8, 4))
+    params = net.init(key)
+    assert set(params) == {"voxel"}
+    rays = jax.random.normal(key, (2, 10, 3)) * 0.2
+    out = net(params, rays, (0.1, 1.0), key=key, train=True)
+    assert out["rgb"].shape == (10, 3)
+    g = jax.grad(lambda p: jnp.sum(net(p, rays, (0.1, 1.0), key=key, train=True)["rgb"]))(params)
+    assert bool(jnp.all(jnp.isfinite(g["voxel"]["volume"]["V"])))
+
+
+def test_simclr_contrastive(key):
+    from nerfsos_tpu.losses.correlation import simclr_contrastive
+
+    a = jax.random.normal(key, (6, 16))
+    # identical pairs should have lower loss than random pairs
+    l_same = float(simclr_contrastive(a, a))
+    b = jax.random.normal(jax.random.PRNGKey(9), (6, 16))
+    l_rand = float(simclr_contrastive(a, b))
+    assert np.isfinite(l_same) and np.isfinite(l_rand)
+    assert l_same < l_rand
+
+
+def test_compare_and_update_args():
+    import argparse
+
+    from nerfsos_tpu.engines.config import compare_args, update_args
+
+    a = argparse.Namespace(netdepth=8, netwidth=256)
+    b = argparse.Namespace(netdepth=8, netwidth=128)
+    assert compare_args(a, b, ["netdepth"])
+    assert not compare_args(a, b, ["netdepth", "netwidth"])
+    update_args(a, b, ["netwidth"])
+    assert a.netwidth == 128
