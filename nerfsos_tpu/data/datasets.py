@@ -134,12 +134,14 @@ class RayDataset(BaseDataset):
         return self._flat_rays.shape[0] if self.split == "train" else self.image_count
 
     def sample_batch(self, rng: np.random.Generator, batch_size: int) -> Dict[str, np.ndarray]:
+        from nerfsos_tpu.data import native
+
         idx = rng.integers(0, self._flat_rays.shape[0], size=batch_size)
-        rays = self._flat_rays[idx]  # [B, 2, 3]
+        rays = native.gather_rows(self._flat_rays, idx)  # [B, 2, 3]
         return {
             "rays": np.ascontiguousarray(rays.transpose(1, 0, 2)),  # [2, B, 3]
-            "target": self._flat_rgbs[idx],
-            "masks": self._flat_masks[idx],
+            "target": native.gather_rows(self._flat_rgbs, idx),
+            "masks": native.gather_rows(self._flat_masks, idx),
         }
 
     def epoch_batches(self, rng: np.random.Generator, batch_size: int):
@@ -189,21 +191,16 @@ class PatchDataset(BaseDataset):
         return self.image_count
 
     def sample_batch(self, rng: np.random.Generator, batch_size: int) -> Dict[str, np.ndarray]:
+        from nerfsos_tpu.data import native
+
         P, s = self.patch_size, self.patch_stride
         img_idx = rng.integers(0, self.image_count, size=batch_size)
         h_idx = rng.integers(0, self.height - self.crop_size + 1, size=batch_size)
         w_idx = rng.integers(0, self.width - self.crop_size + 1, size=batch_size)
 
-        rays = np.empty((batch_size, P, P, 2, 3), np.float32)
-        rgbs = np.empty((batch_size, P, P, self._rgbs.shape[-1]), np.float32)
-        masks = np.empty((batch_size, P, P, self._masks.shape[-1]), self._masks.dtype)
-        for b in range(batch_size):
-            i, h, w = img_idx[b], h_idx[b], w_idx[b]
-            sl_h = slice(h, h + self.crop_size, s)
-            sl_w = slice(w, w + self.crop_size, s)
-            rays[b] = self._rays[i, sl_h, sl_w]
-            rgbs[b] = self._rgbs[i, sl_h, sl_w]
-            masks[b] = self._masks[i, sl_h, sl_w]
+        rays = native.gather_patches(self._rays, img_idx, h_idx, w_idx, P, s)
+        rgbs = native.gather_patches(self._rgbs, img_idx, h_idx, w_idx, P, s)
+        masks = native.gather_patches(self._masks, img_idx, h_idx, w_idx, P, s)
 
         flat_rays = rays.reshape(batch_size * P * P, 2, 3).transpose(1, 0, 2)
         return {
