@@ -58,8 +58,15 @@ def main():
     key = jax.random.PRNGKey(0)
     rays = jax.random.normal(key, (2, N_RAYS, 3))
 
+    import os
+
     results = {}
-    for name, fused in [("xla", False), ("pallas", True)]:
+    variants = [("xla", False)]
+    if os.environ.get("BENCH_PALLAS"):
+        # the fused kernel currently trails the XLA field (see ops/pallas);
+        # opt-in to avoid paying its compile time on every driver run
+        variants.append(("pallas", True))
+    for name, fused in variants:
         cfg = NeRFConfig(**base, fused_field=fused)
         net = NeRFNet(cfg)
         params = net.init(jax.random.PRNGKey(0))
@@ -86,7 +93,7 @@ def main():
     results["train"] = N_RAYS / dt
     log(f"train: {dt*1e3:.1f} ms / {N_RAYS} rays = {N_RAYS/dt:,.0f} rays/s")
 
-    value = max(results["render_xla"], results["render_pallas"])
+    value = max(v for k, v in results.items() if k.startswith("render"))
     print(json.dumps({
         "metric": "flower_flagship_render_rays_per_sec_per_chip",
         "value": round(value, 1),

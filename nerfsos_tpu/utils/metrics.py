@@ -29,6 +29,15 @@ def seg_ari(sem_gt: np.ndarray, sem_pred: np.ndarray) -> dict:
     }
 
 
+def weights_log(masks: np.ndarray) -> np.ndarray:
+    """Log-balanced binary class weights (reference ``utils/misc.py:7-14``;
+    computed by the ray/patch datasets as ``class_w``, unused downstream —
+    kept for API parity)."""
+    class_freq = np.array([np.sum(masks == 0), np.sum(masks == 1)], np.float64)
+    w = 1.0 / np.log1p(class_freq)
+    return (len(class_freq) * w / np.sum(w)).astype(np.float32)
+
+
 def confusion_matrix_binary(pred: np.ndarray, gt: np.ndarray) -> np.ndarray:
     """2x2 confusion matrix over {0, 1} maps."""
     pred = np.asarray(pred).reshape(-1).astype(np.int64)

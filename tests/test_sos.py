@@ -128,3 +128,12 @@ def test_seg_metrics_numpy():
     assert seg_ari(gt, pred)["ari"] == 1.0
     assert binary_iou(pred, gt, adaptive=True) == 1.0
     assert binary_iou(pred, gt, adaptive=False) == 0.0
+
+
+def test_weights_log_balances_classes():
+    from nerfsos_tpu.utils.metrics import weights_log
+
+    masks = np.array([0] * 90 + [1] * 10)
+    w = weights_log(masks)
+    assert w.shape == (2,) and w[1] > w[0]  # rare class weighted up
+    np.testing.assert_allclose(w.sum(), 2.0, rtol=1e-6)
