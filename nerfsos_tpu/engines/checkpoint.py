@@ -128,6 +128,41 @@ def torch_nerf_ckpt_to_params(ckpt: Dict[str, Any]) -> Tuple[Dict[str, Any], int
     return params, step
 
 
+def merge_params(current: Dict[str, Any], loaded: Dict[str, Any],
+                 strict: bool = True) -> Dict[str, Any]:
+    """Deep-merge ``loaded`` into ``current``.
+
+    strict=True mirrors torch ``load_state_dict(strict=True)``: every current
+    leaf must be provided and no extra keys allowed. strict=False mirrors the
+    reference's ``--load_nostrict`` partial load (``run_nerf.py:356``): leaves
+    missing from the checkpoint (e.g. a new semantic head) keep their fresh
+    initialization; shape-mismatched leaves are also kept fresh.
+    """
+    import numpy as np
+
+    def rec(cur, new, path):
+        if not isinstance(cur, dict):
+            if new is None:
+                if strict:
+                    raise KeyError(f"checkpoint missing param {path}")
+                return cur
+            if np.shape(new) != np.shape(cur):
+                if strict:
+                    raise ValueError(
+                        f"shape mismatch at {path}: ckpt {np.shape(new)} vs model {np.shape(cur)}"
+                    )
+                return cur
+            return new
+        new = new or {}
+        if strict:
+            extra = set(new) - set(cur)
+            if extra:
+                raise KeyError(f"unexpected checkpoint keys at {path}: {sorted(extra)}")
+        return {k: rec(v, new.get(k), f"{path}/{k}") for k, v in cur.items()}
+
+    return rec(current, loaded, "")
+
+
 def load_torch_nerf_checkpoint(path: str) -> Tuple[Dict[str, Any], int]:
     import torch
 

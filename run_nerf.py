@@ -279,10 +279,11 @@ def main(args):
         print("Reloading from checkpoint:", ckpt_path)
         if ckpt_path.endswith(".ckpt") and os.path.isfile(ckpt_path):
             loaded, global_step = ckpt_lib.load_torch_nerf_checkpoint(ckpt_path)
-            merged = dict(state.params)
-            for k in loaded:
-                if k in merged or not args.load_nostrict:
-                    merged[k] = loaded[k]
+            # Deep-merge: a pretrained RGB-only ckpt must not drop this
+            # model's freshly-initialized semantic head (--load_nostrict is
+            # exactly the flagship finetune scenario, run_nerf.py:356 upstream)
+            merged = ckpt_lib.merge_params(state.params, loaded,
+                                           strict=not args.load_nostrict)
             state = state.replace(params=merged,
                                   step=jnp.asarray(global_step, jnp.int32))
         else:

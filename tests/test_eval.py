@@ -241,3 +241,27 @@ def test_export_density(eval_net, tmp_path):
     assert os.path.exists(tmp_path / "density.mrc")
     assert os.path.exists(tmp_path / "density.ply")
     np.testing.assert_allclose(read_mrc(str(tmp_path / "density.mrc")), sigma, atol=0)
+
+
+def test_merge_params_nostrict_keeps_new_head():
+    from nerfsos_tpu.engines.checkpoint import merge_params
+
+    current = {"coarse": {"mlp": {"pts_linears_0": {"kernel": np.zeros((3, 4))},
+                                  "sem_0": {"kernel": np.ones((4, 2))}}}}
+    loaded = {"coarse": {"mlp": {"pts_linears_0": {"kernel": np.full((3, 4), 7.0)}}}}
+    out = merge_params(current, loaded, strict=False)
+    np.testing.assert_allclose(out["coarse"]["mlp"]["pts_linears_0"]["kernel"], 7.0)
+    np.testing.assert_allclose(out["coarse"]["mlp"]["sem_0"]["kernel"], 1.0)  # kept fresh
+    with pytest.raises(KeyError):
+        merge_params(current, loaded, strict=True)
+
+
+def test_merge_params_shape_mismatch():
+    from nerfsos_tpu.engines.checkpoint import merge_params
+
+    current = {"a": {"kernel": np.zeros((3, 4))}}
+    loaded = {"a": {"kernel": np.zeros((5, 4))}}
+    out = merge_params(current, loaded, strict=False)  # keeps fresh silently
+    assert out["a"]["kernel"].shape == (3, 4)
+    with pytest.raises(ValueError):
+        merge_params(current, loaded, strict=True)
