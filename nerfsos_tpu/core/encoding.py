@@ -56,6 +56,55 @@ def positional_encoding(
     return emb
 
 
+def _trig_matmul_consts(input_dim: int, n_freqs: int, max_freq: float,
+                        log_sampling: bool):
+    """(M [D, 2*D*F], phase [2*D*F]) such that
+    sin(x @ M + phase) == positional_encoding(x)[..., D:] column-for-column
+    (cos realized as sin(t + pi/2))."""
+    import numpy as np
+
+    if log_sampling:
+        bands = (2.0 ** np.linspace(0.0, max_freq, n_freqs)).astype(np.float32)
+    else:
+        bands = np.linspace(2.0**0.0, 2.0**max_freq, n_freqs).astype(np.float32)
+    cols = 2 * input_dim * n_freqs
+    M = np.zeros((input_dim, cols), np.float32)
+    phase = np.zeros((cols,), np.float32)
+    k = 0
+    for f in bands:
+        for fn_phase in (0.0, math.pi / 2):  # sin block then cos block
+            for c in range(input_dim):
+                M[c, k] = f
+                phase[k] = fn_phase
+                k += 1
+    return M, phase
+
+
+def positional_encoding_fused(
+    x: jnp.ndarray,
+    n_freqs: int,
+    max_freq: float | None = None,
+    include_input: bool = True,
+    log_sampling: bool = True,
+) -> jnp.ndarray:
+    """``positional_encoding`` as ONE matmul + ONE sin.
+
+    Column-order identical to :func:`positional_encoding`; values agree to
+    float ulp (cos(t) computed as sin(t + pi/2)). The naive form emits ~2F
+    tiny [..., D]-lane trig ops plus a 2F-way concatenate — poorly shaped for
+    the TPU VPU; this form is a [D, 2DF] matmul and a single well-tiled sin.
+    """
+    if n_freqs == 0:
+        return x
+    if max_freq is None:
+        max_freq = float(n_freqs - 1)
+    M, phase = _trig_matmul_consts(x.shape[-1], n_freqs, max_freq, log_sampling)
+    emb = jnp.sin(x @ jnp.asarray(M, x.dtype) + jnp.asarray(phase, x.dtype))
+    if include_input:
+        emb = jnp.concatenate([x, emb], axis=-1)
+    return emb
+
+
 def ipe_dim(input_dim: int, n_freqs: int) -> int:
     return 2 * input_dim * n_freqs
 

@@ -52,7 +52,7 @@ class NeRFField(nn.Module):
           raw: [..., S, output_ch(+sem_dim)] float32.
         """
         if self.use_embed:
-            emb = encoding.positional_encoding(pts, self.multires, float(self.multires - 1))
+            emb = encoding.positional_encoding_fused(pts, self.multires, float(self.multires - 1))
         else:
             emb = pts
 
@@ -69,7 +69,7 @@ class NeRFField(nn.Module):
         if self.use_viewdirs:
             d = jnp.broadcast_to(viewdirs[..., None, :], pts.shape)
             demb = (
-                encoding.positional_encoding(d, self.multires_views, float(self.multires_views - 1))
+                encoding.positional_encoding_fused(d, self.multires_views, float(self.multires_views - 1))
                 if self.use_embed
                 else d
             )

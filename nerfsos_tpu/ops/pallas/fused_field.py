@@ -28,19 +28,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _freqs(n: int) -> np.ndarray:
-    return (2.0 ** np.linspace(0.0, n - 1, n)).astype(np.float32)
-
-
-def _pe_in_kernel(x: jnp.ndarray, n_freqs: int) -> jnp.ndarray:
-    """Reference-ordered PE built with VPU ops: [x, sin(f0 x), cos(f0 x), ...]
-    per-frequency blocks [sin over channels, cos over channels]."""
-    parts = [x]
-    for f in _freqs(n_freqs):
-        xf = x * f
-        parts.append(jnp.sin(xf))
-        parts.append(jnp.cos(xf))
-    return jnp.concatenate(parts, axis=-1)
+def _pe_in_kernel(x: jnp.ndarray, M: jnp.ndarray, phase: jnp.ndarray) -> jnp.ndarray:
+    """Reference-ordered PE as one matmul + one sin (see
+    core/encoding.positional_encoding_fused): 2F tiny 3-lane trig ops and a
+    2F-way lane concatenate are hostile to the VPU; sin(x @ M + phase) is one
+    well-tiled op. M/phase arrive as kernel operands (pallas forbids captured
+    traced constants)."""
+    emb = jnp.sin(jnp.dot(x, M, preferred_element_type=jnp.float32) + phase)
+    return jnp.concatenate([x, emb], axis=-1)
 
 
 def _mm(a: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -48,7 +43,7 @@ def _mm(a: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def _field_kernel(
-    pts_ref, dirs_ref, *refs,
+    pts_ref, dirs_ref, m_pts_ref, ph_pts_ref, m_dirs_ref, ph_dirs_ref, *refs,
     depth: int, skips: Tuple[int, ...], multires: int, multires_views: int,
     use_semantics: bool, sem_with_coord: bool, compute_dtype,
 ):
@@ -59,7 +54,7 @@ def _field_kernel(
     out_ref = refs[2 * n_w]
 
     pts = pts_ref[:].astype(jnp.float32)
-    emb = _pe_in_kernel(pts, multires).astype(compute_dtype)
+    emb = _pe_in_kernel(pts, m_pts_ref[:], ph_pts_ref[:]).astype(compute_dtype)
 
     it = iter(range(n_w))
     h = emb
@@ -80,7 +75,7 @@ def _field_kernel(
         sem = _mm(s, w_refs[k_s1][:].astype(compute_dtype), b_refs[k_s1][:])
 
     dirs = dirs_ref[:].astype(jnp.float32)
-    demb = _pe_in_kernel(dirs, multires_views).astype(compute_dtype)
+    demb = _pe_in_kernel(dirs, m_dirs_ref[:], ph_dirs_ref[:]).astype(compute_dtype)
     feat = _mm(h, w_refs[k_feat][:].astype(compute_dtype), b_refs[k_feat][:])
     hv = jnp.concatenate([feat.astype(compute_dtype), demb], axis=-1)
     hv = jnp.maximum(_mm(hv, w_refs[k_views][:].astype(compute_dtype), b_refs[k_views][:]), 0.0)
@@ -142,6 +137,12 @@ def _fused_forward(ws, bs, pts_dirs, depth, skips, multires, multires_views,
         multires_views=multires_views, use_semantics=use_semantics,
         sem_with_coord=sem_with_coord, compute_dtype=compute_dtype,
     )
+    from nerfsos_tpu.core.encoding import _trig_matmul_consts
+
+    m_pts, ph_pts = _trig_matmul_consts(3, multires, float(multires - 1), True)
+    m_dirs, ph_dirs = _trig_matmul_consts(3, multires_views, float(multires_views - 1), True)
+    pe_args = tuple(jnp.asarray(a) for a in (m_pts, ph_pts, m_dirs, ph_dirs))
+
     full = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
                                     memory_space=pltpu.VMEM)
     out = pl.pallas_call(
@@ -150,13 +151,14 @@ def _fused_forward(ws, bs, pts_dirs, depth, skips, multires, multires_views,
         in_specs=[
             pl.BlockSpec((blk, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((blk, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            *[full(a) for a in pe_args],
             *[full(w) for w in ws],
             *[full(b) for b in bs],
         ],
         out_specs=pl.BlockSpec((blk, out_ch), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_blocks * blk, out_ch), jnp.float32),
         interpret=interpret,
-    )(pts, dirs, *ws, *bs)
+    )(pts, dirs, *pe_args, *ws, *bs)
     return out[:N] if pad else out
 
 

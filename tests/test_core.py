@@ -242,3 +242,13 @@ def test_projection_render_shapes(rng):
     pts = jnp.array(rng.normal(size=(5, 7, 3)).astype(np.float32))
     out = render.projection_render(raw, pts)
     assert out["rgb"].shape == (5, 4) and out["weights"].shape == (5, 7)
+
+
+def test_fused_pe_matches_naive(rng):
+    x = jnp.array(rng.normal(size=(33, 3)).astype(np.float32))
+    a = encoding.positional_encoding(x, 10)
+    b = encoding.positional_encoding_fused(x, 10)
+    np.testing.assert_allclose(np.array(a), np.array(b), atol=1e-5)
+    a = encoding.positional_encoding(x, 4, include_input=False)
+    b = encoding.positional_encoding_fused(x, 4, include_input=False)
+    np.testing.assert_allclose(np.array(a), np.array(b), atol=1e-5)
