@@ -55,6 +55,7 @@ class NeRFConfig:
     white_bkgd: bool = False
     lindisp: bool = False
     use_semantics: bool = False
+    skips: tuple = (4,)
     sem_layer: int = 2
     sem_dim: int = 2
     sem_with_coord: bool = False
@@ -74,7 +75,7 @@ def _field_kwargs(cfg: NeRFConfig, fine: bool) -> Dict[str, Any]:
     return dict(
         net_depth=cfg.netdepth_fine if fine else cfg.netdepth,
         net_width=cfg.netwidth_fine if fine else cfg.netwidth,
-        skips=(4,),
+        skips=tuple(cfg.skips),
         use_viewdirs=cfg.use_viewdirs,
         use_embed=cfg.use_embed,
         multires=cfg.multires,
