@@ -65,18 +65,31 @@ def searchsorted_right(sorted_seq: jnp.ndarray, values: jnp.ndarray) -> jnp.ndar
     )
 
 
+def sorted_uniform(key: jax.Array, shape) -> jnp.ndarray:
+    """iid-Uniform(0,1) ORDER STATISTICS along the last axis, generated
+    directly via normalized exponential spacings (no sort). Distributionally
+    identical to ``sort(uniform(shape))``."""
+    e = jax.random.exponential(key, shape[:-1] + (shape[-1] + 1,))
+    c = jnp.cumsum(e, axis=-1)
+    return c[..., :-1] / c[..., -1:]
+
+
 def sample_pdf(
     key: jax.Array | None,
     bins: jnp.ndarray,
     weights: jnp.ndarray,
     n_importance: int,
     det: bool = False,
+    sorted_u: bool = False,
 ) -> jnp.ndarray:
     """Inverse-CDF sampling of ``n_importance`` z-values per ray.
 
     Args:
       bins:    [..., B] bin edges (z-val midpoints).
       weights: [..., B-1] unnormalized per-bin weights.
+      sorted_u: draw the uniforms as order statistics — the returned samples
+        are then monotone along the last axis (the SET of samples is
+        distributionally identical to iid draws; enables a sort-free merge).
     Returns:
       samples: [..., n_importance]. Parity: reference
       ``models/sampler.py:91-134`` including the ``+1e-5`` weight floor and
@@ -90,6 +103,8 @@ def sample_pdf(
     u_shape = cdf.shape[:-1] + (n_importance,)
     if det:
         u = jnp.broadcast_to(jnp.linspace(0.0, 1.0, n_importance), u_shape)
+    elif sorted_u:
+        u = sorted_uniform(key, u_shape).astype(cdf.dtype)
     else:
         u = jax.random.uniform(key, u_shape, dtype=cdf.dtype)
 
@@ -118,6 +133,25 @@ def sample_pdf(
     return bins_below + t * (bins_above - bins_below)
 
 
+def merge_sorted(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Merge two per-row SORTED sequences into one sorted sequence, without a
+    sort: output positions come from cross-rank counts, values land via
+    one-hot contractions (XLA's sort and per-row gathers are both slow on
+    TPU; comparison-sums fuse onto the VPU). Ties place ``a`` first (stable).
+    """
+    S, I = a.shape[-1], b.shape[-1]
+    pos_a = jnp.arange(S) + jnp.sum(
+        (b[..., None, :] < a[..., :, None]).astype(jnp.int32), axis=-1
+    )
+    pos_b = jnp.arange(I) + jnp.sum(
+        (a[..., None, :] <= b[..., :, None]).astype(jnp.int32), axis=-1
+    )
+    out_idx = jnp.arange(S + I)
+    oh_a = (pos_a[..., :, None] == out_idx).astype(a.dtype)
+    oh_b = (pos_b[..., :, None] == out_idx).astype(b.dtype)
+    return jnp.einsum("...sp,...s->...p", oh_a, a) + jnp.einsum("...ip,...i->...p", oh_b, b)
+
+
 def importance_sample(
     key: jax.Array | None,
     z_vals: jnp.ndarray,
@@ -134,8 +168,10 @@ def importance_sample(
       (z_all [..., S+n_importance], z_samples [..., n_importance]).
       Parity: reference ``models/sampler.py:136-170`` — pdf over interval
       midpoints with the edge weights dropped, fine samples detached, then a
-      merge-sort with the coarse z (``jnp.sort`` lowers to XLA's sort; the
-      merged length is ≤256 so this is cheap).
+      merge-sort with the coarse z. (A gather-free two-way merge over sorted
+      order statistics — see ``merge_sorted``/``sorted_uniform`` — measured
+      no faster than XLA's sort at S+I=192, so the simpler reference-parity
+      path stays.)
     """
     z_mids = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
     z_samples = sample_pdf(key, z_mids, weights[..., 1:-1], n_importance, det=det)

@@ -252,3 +252,27 @@ def test_fused_pe_matches_naive(rng):
     a = encoding.positional_encoding(x, 4, include_input=False)
     b = encoding.positional_encoding_fused(x, 4, include_input=False)
     np.testing.assert_allclose(np.array(a), np.array(b), atol=1e-5)
+
+
+def test_merge_sorted_matches_sort(rng):
+    a = np.sort(rng.random((7, 9)).astype(np.float32), -1)
+    b = np.sort(rng.random((7, 5)).astype(np.float32), -1)
+    got = np.array(sampling.merge_sorted(jnp.array(a), jnp.array(b)))
+    ref = np.sort(np.concatenate([a, b], -1), -1)
+    np.testing.assert_allclose(got, ref, atol=0)
+
+
+def test_merge_sorted_with_ties():
+    a = jnp.array([[1.0, 2.0, 2.0, 3.0]])
+    b = jnp.array([[2.0, 2.5]])
+    got = np.array(sampling.merge_sorted(a, b))
+    np.testing.assert_allclose(got[0], [1.0, 2.0, 2.0, 2.0, 2.5, 3.0])
+
+
+def test_sorted_uniform_is_sorted_and_uniform(key):
+    u = np.array(sampling.sorted_uniform(key, (2000, 16)))
+    assert np.all(np.diff(u, axis=-1) >= 0)
+    assert 0.0 <= u.min() and u.max() <= 1.0
+    # marginal of all order stats pooled ~ U(0,1): mean ~0.5, var ~1/12
+    np.testing.assert_allclose(u.mean(), 0.5, atol=0.01)
+    np.testing.assert_allclose(u.var(), 1.0 / 12, atol=0.01)
