@@ -7,7 +7,7 @@ binaries, same ``images_{factor}`` cache-directory contract.
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import numpy as np
 

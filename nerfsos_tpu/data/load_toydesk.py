@@ -12,7 +12,6 @@ import collections
 import json
 import os
 import struct
-from typing import Tuple
 
 import numpy as np
 

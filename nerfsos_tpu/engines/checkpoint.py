@@ -15,7 +15,6 @@ import os
 import re
 from typing import Any, Dict, Optional, Tuple
 
-import jax
 import numpy as np
 
 

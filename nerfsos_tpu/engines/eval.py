@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from nerfsos_tpu.losses.photometric import img2mse, mse2psnr
-from nerfsos_tpu.models.extractor import VitExtractor, normalize_imagenet, resize_nearest_torch
+from nerfsos_tpu.models.extractor import VitExtractor, resize_nearest_torch
 from nerfsos_tpu.models.nerf import NeRFNet
 from nerfsos_tpu.ops.ssim import ssim as ssim_fn
 from nerfsos_tpu.utils import io as io_utils

@@ -13,7 +13,7 @@ TPU-native rewrite of the reference's optimizer setup:
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Optional
 
 import flax.struct
 import jax

@@ -9,7 +9,6 @@ over the mesh's ``data`` axis with replicated params; XLA inserts the gradient
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
 import jax

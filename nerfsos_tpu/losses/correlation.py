@@ -20,7 +20,7 @@ replaces ``no_grad``; ``where`` replaces in-place masking.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

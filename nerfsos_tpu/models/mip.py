@@ -15,7 +15,6 @@ rematerialized ``lax.map``.
 """
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Dict, Optional, Tuple
 
 import jax

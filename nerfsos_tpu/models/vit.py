@@ -14,7 +14,7 @@ Parity notes: qkv_bias=True, LayerNorm eps=1e-6, EXACT (erf) GELU — torch
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import flax.linen as nn
 import jax

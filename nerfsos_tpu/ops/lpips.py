@@ -13,7 +13,7 @@ normalization, per-layer unit-normalize over channels, squared diff, learned
 """
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Optional
 
 import flax.linen as nn
 import jax

@@ -12,7 +12,6 @@ CLI: ``python -m nerfsos_tpu.tools.get_dinoseg --img_dir D [--out_dir D/masks]
 from __future__ import annotations
 
 import argparse
-import glob
 import os
 
 import numpy as np

@@ -11,11 +11,11 @@ from __future__ import annotations
 import argparse
 import glob
 import os
-from typing import Dict, List
+from typing import Dict
 
 import numpy as np
 
-from nerfsos_tpu.utils.metrics import adjusted_rand_score, binary_iou
+from nerfsos_tpu.utils.metrics import adjusted_rand_score
 
 
 def compute_iou(y_pred: np.ndarray, y_true: np.ndarray) -> np.ndarray:

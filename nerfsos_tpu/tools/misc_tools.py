@@ -10,7 +10,6 @@ CLI: ``python -m nerfsos_tpu.tools.misc_tools <cmd> ...`` with cmd in
 from __future__ import annotations
 
 import argparse
-import glob
 import os
 
 import numpy as np
