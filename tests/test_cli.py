@@ -112,3 +112,64 @@ def test_cli_config_file_reads_reference_format(scene, tmp_path):
     assert args.decay_step == 500  # lrate_decay alias
     run_nerf.main(args)  # exercises the ViewDataset precrop path
     assert os.path.exists(os.path.join(basedir, "smoke_view", "eval", "log.json"))
+
+
+def test_cli_loads_torch_checkpoint(scene, tmp_path):
+    """--ckpt_path with a reference-format torch .ckpt (the published-weights
+    ingestion path) drives load_torch_nerf_checkpoint + deep merge in main()."""
+    import torch
+    import torch.nn as tnn
+
+    data, basedir = scene
+
+    class RefModel(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            # mirror reference module names for netdepth=2, netwidth=16,
+            # multires=2 (pe dim 15), multires_views=2 (pe dim 15)
+            self.lins = tnn.ModuleDict()
+            names = {
+                "pts_linears.0": (15, 16), "pts_linears.1": (16, 16),
+                "alpha_linear": (16, 1), "feature_linear": (16, 16),
+                "views_linears.0": (16 + 15, 8), "rgb_linear": (8, 3),
+            }
+            self.state = {}
+            for prefix in ("nerf", "nerf_fine"):
+                for n, (i, o) in names.items():
+                    self.state[f"{prefix}.mlp.{n}.weight"] = torch.randn(o, i)
+                    self.state[f"{prefix}.mlp.{n}.bias"] = torch.randn(o)
+
+    rm = RefModel()
+    ckpt_path = tmp_path / "ref_00000777.ckpt"
+    torch.save({"global_step": 777, "model": rm.state, "optimizer": {}}, ckpt_path)
+
+    args = _args(data, basedir, "--expname", "smoke_torch_ckpt",
+                 "--ckpt_path", str(ckpt_path), "--load_nostrict",
+                 "--max_steps", "2", "--i_weights", "100000")
+    run_nerf.main(args)
+    # resumed step counter from the torch ckpt
+    assert os.path.exists(os.path.join(basedir, "smoke_torch_ckpt", "eval", "log.json"))
+
+
+def test_cli_no_viewdirs_and_conv_embed(scene):
+    """Exercise the non-fused fallback paths through the CLI."""
+    data, basedir = scene
+    args = _args(data, basedir, "--expname", "smoke_variants",
+                 "--no_viewdirs", "--max_steps", "2", "--i_weights", "100000")
+    run_nerf.main(args)
+    args = _args(data, basedir, "--expname", "smoke_conv",
+                 "--conv_embed", "--max_steps", "2", "--i_weights", "100000")
+    run_nerf.main(args)
+    assert os.path.exists(os.path.join(basedir, "smoke_conv", "eval", "log.json"))
+
+
+def test_profiling_helpers(tmp_path):
+    from nerfsos_tpu.utils.profiling import StepTimer, trace
+
+    with trace(None):
+        pass  # no-op path
+    t = StepTimer()
+    t.tick(100)
+    t.tick(100)
+    rep = t.report()
+    assert rep["steps"] == 2 and rep["rays_per_sec"] > 0
