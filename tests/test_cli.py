@@ -173,3 +173,26 @@ def test_profiling_helpers(tmp_path):
     t.tick(100)
     rep = t.report()
     assert rep["steps"] == 2 and rep["rays_per_sec"] > 0
+
+
+def test_cli_sos_mode_end_to_end(scene):
+    """Full SOS path through main(): patch dataset, DINO (random weights),
+    correlation + geo losses, frozen backbone, online ARI logging."""
+    data, basedir = scene
+    args = _args(
+        data, basedir, "--expname", "smoke_sos",
+        "--max_steps", "2", "--i_print", "1", "--i_weights", "100000",
+        "--patch_tune", "--batch_size", "2", "--patch_size", "4",
+        "--patch_stride", "2", "--use_dino", "--use_correlation",
+        "--use_geoCorr", "--rand_neg", "--fix_backbone",
+        "--correlation_w", "0.1", "--Gcorrelation_w", "0.01",
+        "--sem_with_coord", "--use_masks", "--clus_no_sfm", "--ret_cluster",
+    )
+    # _args appends --no_semantics; SOS needs the semantic branch back on
+    args.no_semantics = False
+    args.use_semantics = True
+    run_nerf.main(args)
+    run_dir = os.path.join(basedir, "smoke_sos")
+    assert os.path.exists(os.path.join(run_dir, "eval", "log.json"))
+    log = json.load(open(os.path.join(run_dir, "eval", "log.json")))
+    assert "total_clus_ari" in log
