@@ -186,15 +186,33 @@ class PatchDataset(BaseDataset):
         self._rays = np.asarray(self.rays)
         self._rgbs = np.asarray(self.rgbs)
         self._masks = np.asarray(self.masks)
+        self._perm = np.empty(0, np.int64)  # per-epoch shuffle cursor
 
     def __len__(self) -> int:
         return self.image_count
+
+    def _next_image_indices(self, rng: np.random.Generator, n: int) -> np.ndarray:
+        """Per-epoch shuffle WITHOUT replacement (DataLoader shuffle=True
+        semantics, reference ``run_nerf.py:409-412``): each image appears once
+        per epoch; a batch only repeats an image if it straddles an epoch
+        boundary (the torch loader instead emits a ragged last batch — static
+        shapes forbid that here). This keeps ``super_perm``'s no-fixed-point
+        negative-mining guarantee meaningful within a batch."""
+        parts = []
+        while n > 0:
+            if self._perm.size == 0:
+                self._perm = rng.permutation(self.image_count)
+            take = min(n, self._perm.size)
+            parts.append(self._perm[:take])
+            self._perm = self._perm[take:]
+            n -= take
+        return np.concatenate(parts)
 
     def sample_batch(self, rng: np.random.Generator, batch_size: int) -> Dict[str, np.ndarray]:
         from nerfsos_tpu.data import native
 
         P, s = self.patch_size, self.patch_stride
-        img_idx = rng.integers(0, self.image_count, size=batch_size)
+        img_idx = self._next_image_indices(rng, batch_size)
         h_idx = rng.integers(0, self.height - self.crop_size + 1, size=batch_size)
         w_idx = rng.integers(0, self.width - self.crop_size + 1, size=batch_size)
 

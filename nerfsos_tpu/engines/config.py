@@ -62,6 +62,10 @@ class ConfigArgumentParser(argparse.ArgumentParser):
                 print(f"[config] ignoring unknown key: {k}")
                 continue
             defaults[action.dest] = self._coerce(action, raw)
+            # configargparse parity: a value supplied by the config file
+            # satisfies a required argument (e.g. datadir/dataset_type in the
+            # shipped scene configs).
+            action.required = False
         self.set_defaults(**defaults)
 
     def parse_known_args(self, args=None, namespace=None):

@@ -26,6 +26,7 @@ import numpy as np
 from nerfsos_tpu.losses.photometric import img2mse, mse2psnr
 from nerfsos_tpu.models.extractor import VitExtractor, resize_nearest_torch
 from nerfsos_tpu.models.nerf import NeRFNet
+from nerfsos_tpu.ops.kmeans import segmap_cluster
 from nerfsos_tpu.ops.ssim import ssim as ssim_fn
 from nerfsos_tpu.utils import io as io_utils
 from nerfsos_tpu.utils.metrics import adjusted_rand_score
@@ -34,18 +35,28 @@ from nerfsos_tpu.utils.vis import colorize_np, to8b
 METRIC_KEYS = ["mse", "psnr", "ssim", "lpips", "clus_ari", "clus_ari_fg", "sem_ari", "sem_ari_fg"]
 
 
+def _json_nan_to_null(obj):
+    """NaN/inf -> None so log.json stays valid JSON with honest nulls."""
+    if isinstance(obj, dict):
+        return {k: _json_nan_to_null(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_json_nan_to_null(v) for v in obj]
+    if isinstance(obj, float) and not np.isfinite(obj):
+        return None
+    return obj
+
+
 def _np_softmax(x: np.ndarray) -> np.ndarray:
     e = np.exp(x - x.max(-1, keepdims=True))
     return e / e.sum(-1, keepdims=True)
 
 
-def _segmap_cluster_np(prob: np.ndarray, n_clusters: int) -> np.ndarray:
-    """sklearn KMeans(random_state=0) parity (reference ``utils/misc.py:40-53``)."""
-    from sklearn.cluster import KMeans
-
-    H, W, C = prob.shape
-    km = KMeans(n_clusters=n_clusters, random_state=0, n_init=10).fit(prob.reshape(-1, C))
-    return km.labels_.reshape(H, W, 1)
+# In-graph k-means (ops/kmeans.py): kills the per-view device->host sync +
+# sklearn call the reference pays inside its eval loop (its engines/eval.py:57,
+# utils/misc.py:44-49). Labels are arbitrary in both (ARI is permutation-
+# invariant; the DINO foreground flip fixes orientation); sklearn stays as the
+# parity oracle in tests.
+_segmap_cluster_jit = jax.jit(segmap_cluster, static_argnums=(1,))
 
 
 def make_render_fn(net: NeRFNet, near: float, far: float, **net_kwargs):
@@ -83,7 +94,9 @@ def eval_one_view(
         else:
             sem_prob = _np_softmax(ret["semantics"])
             sem_pred_sft = np.argmax(sem_prob, -1)[..., None]
-        sem_pred_clus = _segmap_cluster_np(sem_prob, n_cluster).astype(np.int32)
+        sem_pred_clus = np.asarray(
+            _segmap_cluster_jit(jnp.asarray(sem_prob), n_cluster)
+        ).astype(np.int32)
         sem_pred_sft = sem_pred_sft.astype(np.int32)
 
         ret["sem"] = sem_pred_sft
@@ -107,7 +120,9 @@ def eval_one_view(
             metrics["lpips"] = float(lpips_metric(jnp.asarray(ret["rgb"]),
                                                   jnp.asarray(target), data_format="HWC")[0])
         else:
-            metrics["lpips"] = 0.0
+            # no LPIPS weights available: NaN, never a fabricated 0.0 — the
+            # aggregate excludes it and log.json records null.
+            metrics["lpips"] = float("nan")
         metrics.update(clus_ari=clus_ari, clus_ari_fg=clus_ari_fg,
                        sem_ari=sem_ari, sem_ari_fg=sem_ari_fg)
     return ret, metrics
@@ -192,11 +207,14 @@ def evaluate(
                                    (clustering[..., 0] * 255).astype(np.uint8))
 
     total_mse = float(np.mean(all_metrics["mse"])) if all_metrics["mse"] else 0.0
+    finite_lpips = [v for v in all_metrics["lpips"] if np.isfinite(v)]
     totals = {
         "total_mse": total_mse,
         "total_psnr": float(mse2psnr(jnp.asarray(total_mse))) if total_mse > 0 else 0.0,
         "total_ssim": float(np.mean(all_metrics["ssim"])) if all_metrics["ssim"] else 0.0,
-        "total_lpips": float(np.mean(all_metrics["lpips"])) if all_metrics["lpips"] else 0.0,
+        # views without LPIPS weights report NaN and are excluded, not
+        # averaged in as fake-perfect zeros
+        "total_lpips": float(np.mean(finite_lpips)) if finite_lpips else float("nan"),
         "total_clus_ari": float(np.mean(all_metrics["clus_ari"])) if all_metrics["clus_ari"] else 0.0,
         "total_clus_ari_fg": float(np.mean(all_metrics["clus_ari_fg"])) if all_metrics["clus_ari_fg"] else 0.0,
         "total_sem_ari": float(np.mean(all_metrics["sem_ari"])) if all_metrics["sem_ari"] else 0.0,
@@ -207,6 +225,7 @@ def evaluate(
     if save_dir is not None:
         dump = dict(all_metrics)
         dump.update(totals)
+        dump = _json_nan_to_null(dump)
         with open(os.path.join(save_dir, "log.json"), "w") as f:
             json.dump(dump, f)
         with open(os.path.join(save_dir, "log.txt"), "w") as f:

@@ -9,8 +9,15 @@ Parity notes (SURVEY.md §7.4):
 - the semantic CE loss is dead code upstream (``sem_loss0/1`` constant zero,
   reference ``:123, 205``) — segmentation trains ONLY via correlation losses;
 - the DINO input is nearest-resized to (patch_size * patch_stride)^2 first
-  (reference ``:104``, default interpolate mode), then the extractor resizes
-  to 224^2 — two-step resize preserved exactly;
+  (reference ``:104``, default interpolate mode), then ImageNet-normalized
+  (``normalize_batch``, reference ``:106``), then the extractor resizes to
+  224^2 and normalizes AGAIN (``models/extractor.py:205-208``) — the double
+  normalization is an upstream quirk the published checkpoints were trained
+  with; preserved exactly;
+- gradients flow through the frozen ViT into the rendered RGB only when
+  ``use_contrast`` is on (the correlation losses' fd is no-grad and negative
+  mining is argmin, so the DINO backward is pure overhead otherwise —
+  reference ``:169-170`` lets input grads flow, weights stay frozen);
 - both correlation losses are applied to BOTH coarse ('0') and fine heads;
 - the geometry loss consumes the FINE depth for both calls (reference
   ``:159-160``);
@@ -20,6 +27,7 @@ Parity notes (SURVEY.md §7.4):
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -34,7 +42,11 @@ from nerfsos_tpu.losses.correlation import (
     nerf_contrastive,
 )
 from nerfsos_tpu.losses.photometric import img2mse, mse2psnr
-from nerfsos_tpu.models.extractor import VitExtractor, resize_nearest_torch
+from nerfsos_tpu.models.extractor import (
+    VitExtractor,
+    normalize_imagenet,
+    resize_nearest_torch,
+)
 from nerfsos_tpu.models.nerf import NeRFNet
 
 
@@ -93,11 +105,19 @@ def sos_loss_fn(
 
     if cfg.use_dino:
         rgb_patches = out["rgb"].reshape(B, Psz, Psz, 3)
-        # two-step nearest resize: P -> P*stride (trainer :104), -> 224 (extractor)
+        if not cfg.use_contrast:
+            # Only the contrast loss can backprop through the ViT (fd is
+            # no-grad, negative mining is argmin); cut the DINO backward
+            # entirely when it's off. Reference keeps input grads live
+            # (trainer :169-170) — matched when use_contrast is set.
+            rgb_patches = jax.lax.stop_gradient(rgb_patches)
+        # two-step resize+normalize chain, preserved exactly:
+        #   nearest P -> P*stride (trainer :104), ImageNet norm (trainer :106),
+        #   nearest -> 224 + ImageNet norm again (inside the extractor).
         dino_in = resize_nearest_torch(
-            jax.lax.stop_gradient(rgb_patches),
-            Psz * cfg.patch_stride, Psz * cfg.patch_stride,
+            rgb_patches, Psz * cfg.patch_stride, Psz * cfg.patch_stride,
         )
+        dino_in = normalize_imagenet(dino_in)
         dino = extractor.get_vit_attn_feat(dino_in, params=dino_params)
         feat_tokens = dino["feat"]  # [B, N, C]
         side = int(feat_tokens.shape[1] ** 0.5)
@@ -183,6 +203,7 @@ def online_seg_metrics(semantics: Any, masks: Any, batch_size: int, patch_size: 
     """
     import numpy as np
 
+    from nerfsos_tpu.ops.kmeans import kmeans
     from nerfsos_tpu.utils.metrics import adjusted_rand_score
 
     sem = np.asarray(semantics).reshape(batch_size, patch_size, patch_size, -1)
@@ -194,14 +215,12 @@ def online_seg_metrics(semantics: Any, masks: Any, batch_size: int, patch_size: 
         sft = prob
     sem_pred_sft = np.argmax(sft, -1)[..., None]
 
-    from sklearn.cluster import KMeans
-
-    sem_pred_clus = np.zeros((batch_size, patch_size, patch_size, 1))
-    for i in range(batch_size):
-        km = KMeans(n_clusters=n_cluster, random_state=0, n_init=10).fit(
-            prob[i].reshape(-1, prob.shape[-1])
-        )
-        sem_pred_clus[i] = km.labels_.reshape(patch_size, patch_size, 1)
+    # one vmapped in-graph k-means over the batch instead of the reference's
+    # per-patch sklearn loop (its engines/trainer.py:183-186, a device->host
+    # sync each print step); labels are arbitrary either way (ARI).
+    labels = _batched_kmeans(jnp.asarray(prob).reshape(batch_size, -1, prob.shape[-1]),
+                             n_cluster)
+    sem_pred_clus = np.asarray(labels).reshape(batch_size, patch_size, patch_size, 1)
 
     sem_gt = np.asarray(masks).reshape(batch_size, patch_size, patch_size, 1)
     fg = sem_gt == 1
@@ -218,3 +237,13 @@ def _np_softmax(x):
 
     e = np.exp(x - x.max(-1, keepdims=True))
     return e / e.sum(-1, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _batched_kmeans(prob: jnp.ndarray, n_cluster: int) -> jnp.ndarray:
+    """[B, N, C] -> [B, N] labels; fixed key per patch (seeded like sklearn's
+    random_state=0 in spirit — deterministic, labels arbitrary)."""
+    from nerfsos_tpu.ops.kmeans import kmeans
+
+    keys = jax.random.split(jax.random.PRNGKey(0), prob.shape[0])
+    return jax.vmap(lambda k, x: kmeans(k, x, n_cluster)[0])(keys, prob)

@@ -50,6 +50,29 @@ def exp_decay_schedule(init_lr: float, decay_rate: float, decay_steps: float) ->
     return schedule
 
 
+def fast_forward_schedule(opt_state: Any, step: int) -> Any:
+    """Set every ``ScaleByScheduleState`` count inside ``opt_state`` to ``step``.
+
+    The reference drives its LR scheduler with the loop's ``global_step``
+    (``run_nerf.py:355`` restores it; ``engines/lr.py:20-23`` is stateless in
+    the step), so a finetune ingesting a 150k-step torch checkpoint resumes at
+    the decayed LR (~1.26e-4), not back at ``init_lr``. optax's schedule keeps
+    its own internal count, which starts at 0 on a fresh ``tx.init`` — this
+    fast-forwards it. Adam moments (and their bias-correction count) stay
+    fresh, which is correct for freshly-initialized moments.
+    """
+    import jax.numpy as jnp
+
+    is_sched = lambda s: isinstance(s, optax.ScaleByScheduleState)
+
+    def fix(s):
+        if is_sched(s):
+            return optax.ScaleByScheduleState(count=jnp.asarray(step, jnp.int32))
+        return s
+
+    return jax.tree_util.tree_map(fix, opt_state, is_leaf=is_sched)
+
+
 def semantic_head_mask(params: Any) -> Any:
     """True for semantic-head params (``sem_*`` Dense layers), False elsewhere.
 

@@ -98,8 +98,18 @@ class CorrelationLoss:
     def _clamp_min(self) -> float:
         return 0.0 if self.zero_clamp else -9999.0
 
+    def feat_transform(self, t: jnp.ndarray) -> jnp.ndarray:
+        """Transform applied to the feature side before the correlation kernel.
+
+        Appearance loss L2-normalizes DINO features per pixel (reference
+        ``utils/image.py:312``); the geometry loss overrides this to identity —
+        its kernel consumes RAW back-projected 3-D points (``:418``, the
+        normalized call is commented out at ``:419``).
+        """
+        return _norm(t)
+
     def helper(self, f1, f2, c1, c2, shift: float) -> jnp.ndarray:
-        fd = self.tensor_correlation(_norm(f1), _norm(f2))
+        fd = self.tensor_correlation(self.feat_transform(f1), self.feat_transform(f2))
         if self.pointwise:
             fd = _pointwise_recenter(fd)
         fd = jax.lax.stop_gradient(fd)  # reference computes fd under no_grad (:312)
@@ -157,6 +167,13 @@ class GeoCorrelationLoss(CorrelationLoss):
     self_shift: float = 3.0
     neg_shift: float = 10.0
     max_depth: float = 15.0
+
+    def feat_transform(self, t: jnp.ndarray) -> jnp.ndarray:
+        """Identity: the geo kernel takes RAW XYZ points. Unit-normalizing 3-D
+        scene points before an inverse-L1 distance would erase the depth
+        magnitude the geometry loss exists to exploit (reference
+        ``utils/image.py:418`` passes ``is_f=True`` raw; ``:419`` commented)."""
+        return t
 
     def tensor_correlation(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         """Clamped inverse-L1 kernel (reference ``:404-413``)."""

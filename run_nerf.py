@@ -225,7 +225,12 @@ def main(args):
     from nerfsos_tpu.engines import checkpoint as ckpt_lib
     from nerfsos_tpu.engines import eval as eval_lib
     from nerfsos_tpu.engines.sos import SOSConfig, make_sos_train_step, online_seg_metrics
-    from nerfsos_tpu.engines.state import TrainState, exp_decay_schedule, make_optimizer
+    from nerfsos_tpu.engines.state import (
+        TrainState,
+        exp_decay_schedule,
+        fast_forward_schedule,
+        make_optimizer,
+    )
     from nerfsos_tpu.engines.trainer import make_rgb_train_step
     from nerfsos_tpu.losses.correlation import CorrelationLoss, GeoCorrelationLoss
     from nerfsos_tpu.parallel import mesh as pmesh
@@ -284,8 +289,16 @@ def main(args):
             # exactly the flagship finetune scenario, run_nerf.py:356 upstream)
             merged = ckpt_lib.merge_params(state.params, loaded,
                                            strict=not args.load_nostrict)
-            state = state.replace(params=merged,
-                                  step=jnp.asarray(global_step, jnp.int32))
+            # The torch ckpt's Adam moments are not ingested (fresh optax
+            # state), but the LR schedule must resume from global_step — the
+            # reference calls scheduler.step(global_step) (run_nerf.py:355,
+            # engines/lr.py:20-23), so a 150k-step finetune starts at the
+            # decayed LR, not init_lr.
+            state = state.replace(
+                params=merged,
+                step=jnp.asarray(global_step, jnp.int32),
+                opt_state=fast_forward_schedule(state.opt_state, global_step),
+            )
         else:
             restored = ckpt_lib.load_checkpoint(ckpt_path)
             global_step = int(restored["global_step"])

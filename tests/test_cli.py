@@ -89,6 +89,22 @@ def test_cli_sos_invariant_validated(scene):
         run_nerf.main(_args(data, basedir, "--patch_tune", "--use_correlation"))
 
 
+def test_all_shipped_configs_parse():
+    """Config-matrix parity: every shipped scene config (34/34, matching the
+    reference's configs/) must parse through create_arg_parser."""
+    import glob
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfgs = sorted(glob.glob(os.path.join(repo, "configs", "*.txt")))
+    assert len(cfgs) == 34
+    for c in cfgs:
+        parser = run_nerf.create_arg_parser()
+        args, _ = parser.parse_known_args(["--config", c])
+        assert args.expname, c
+        assert args.N_samples == 64, c
+        assert args.data_type, c  # --dataset_type aliases to data_type
+
+
 def test_cli_mipnerf_smoke(scene):
     data, basedir = scene
     args = _args(data, basedir, "--mipnerf", "--expname", "smoke_mip",

@@ -180,6 +180,20 @@ def test_patch_dataset_strided_crop(synth_dataset, rng):
     assert 0 <= h <= H - 12 and 0 <= w <= W - 12
 
 
+def test_patch_dataset_samples_without_replacement(synth_dataset, rng):
+    """Each epoch (image_count draws) must cover every image exactly once
+    (DataLoader shuffle=True parity); no image repeats within a batch when
+    batch_size <= image_count."""
+    out, H, W = synth_dataset
+    d = PatchDataset(out, split="train", patch_size=4, patch_stride=1)
+    n = d.image_count
+    for _ in range(3):  # three consecutive epochs
+        seen = []
+        for _ in range(n // 2):
+            seen.extend(d._next_image_indices(rng, 2).tolist())
+        assert sorted(seen) == list(range(n))
+
+
 def test_patch_dataset_rejects_oversized_crop(synth_dataset):
     out, H, W = synth_dataset
     with pytest.raises(ValueError):

@@ -146,6 +146,63 @@ def test_geo_loss_grads_flow_to_depth_and_code(key, rng):
     np.testing.assert_allclose(np.array(g_d), 0.0)  # fd branch is no-grad
 
 
+def _torch_geo_forward(depth, code, ray_o, ray_d, sim, params, max_depth=15.0):
+    """Full reference GeoCorrelationLoss.forward (utils/image.py:373-482):
+    depth filter -> depth2pts -> helper (RAW fd, normalized cd) -> weighted mean."""
+    self_shift, self_weight, neg_shift, neg_weight = params
+
+    def norm(t):
+        return F.normalize(t, dim=1, eps=1e-10)
+
+    def helper(f1, f2, c1, c2, shift):
+        with torch.no_grad():
+            fd = _torch_geo_kernel(f1, f2, max_depth)  # RAW points (:418)
+            old_mean = fd.mean()
+            fd = fd - fd.mean([3, 4], keepdim=True)
+            fd = fd - fd.mean() + old_mean
+        cd = _torch_geo_kernel(norm(c1), norm(c2), max_depth)
+        return -cd.clamp(0.0) * (fd - shift)
+
+    depth = depth.clone()
+    depth[depth > max_depth] = depth[depth < max_depth].max()
+    feats = ray_o + ray_d * depth
+    neg_idx = torch.min(sim, dim=0)[1]
+    neg_loss = helper(feats, feats[neg_idx], code, code[neg_idx], neg_shift)
+    self_loss = helper(feats, feats, code, code, self_shift)
+    return neg_weight * neg_loss.mean() + self_weight * self_loss.mean()
+
+
+def test_geo_forward_matches_torch_end_to_end(key, rng):
+    """Full geo forward vs a torch transcription of the reference, including
+    the raw-XYZ fd (the round-1 parity bug: fd must NOT be normalized)."""
+    B, P = 4, 6
+    params = [0.5, 1.0, 3.0, 1.0]
+    depth = rng.uniform(0.5, 8.0, (B, 1, P, P)).astype(np.float32)
+    depth[0, 0, 0, 0] = 22.0  # exercise the >max_depth filter
+    code = rng.normal(size=(B, 2, P, P)).astype(np.float32)
+    ray_o = rng.normal(size=(B, 3, P, P)).astype(np.float32)
+    ray_d = rng.normal(size=(B, 3, P, P)).astype(np.float32)
+    sim = rng.normal(size=(B, B)).astype(np.float32)
+
+    loss = GeoCorrelationLoss.from_params(params, use_sim_matrix=True)
+    ours = float(loss(key, jnp.array(depth), jnp.array(code),
+                      (jnp.array(ray_o), jnp.array(ray_d)), jnp.array(sim)))
+    ref = float(_torch_geo_forward(
+        *(torch.from_numpy(a) for a in (depth, code, ray_o, ray_d, sim)), params))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_geo_fd_uses_raw_points(rng):
+    """Scaling all points by a constant must CHANGE fd (raw) — under the buggy
+    normalized fd it would be invariant."""
+    loss = GeoCorrelationLoss()
+    pts = jnp.array(rng.uniform(1, 4, (2, 3, 4, 4)).astype(np.float32))
+    code = jnp.array(rng.normal(size=(2, 2, 4, 4)).astype(np.float32))
+    h1 = loss.helper(pts, pts, code, code, 3.0)
+    h2 = loss.helper(pts * 5.0, pts * 5.0, code, code, 3.0)
+    assert float(jnp.max(jnp.abs(h1 - h2))) > 1e-3
+
+
 def test_nerf_contrastive_matches_manual(rng):
     x = rng.normal(size=(5, 7)).astype(np.float32)
     ours = float(nerf_contrastive(jnp.array(x)))

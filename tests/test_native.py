@@ -64,7 +64,7 @@ def test_datasets_still_correct_with_native(tmp_path, rng):
     assert b["rays"].shape == (2, 32, 3)
     # reconstruct from start_idx and compare against direct slicing
     r2 = np.random.default_rng(0)
-    img_idx = r2.integers(0, 3, 2)
+    img_idx = r2.permutation(3)[:2]  # per-epoch shuffle without replacement
     h_idx = r2.integers(0, H - 8 + 1, 2)
     w_idx = r2.integers(0, W - 8 + 1, 2)
     ref = np.stack([rays[img_idx[i], h_idx[i]:h_idx[i] + 8:2, w_idx[i]:w_idx[i] + 8:2]

@@ -3,7 +3,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from nerfsos_tpu.engines.state import TrainState, exp_decay_schedule, make_optimizer, semantic_head_mask
+from nerfsos_tpu.engines.state import (
+    TrainState,
+    exp_decay_schedule,
+    fast_forward_schedule,
+    make_optimizer,
+    semantic_head_mask,
+)
 from nerfsos_tpu.engines.trainer import make_rgb_train_step
 from nerfsos_tpu.models.nerf import NeRFConfig, NeRFNet
 from nerfsos_tpu.parallel import mesh as pmesh
@@ -22,6 +28,27 @@ def test_exp_decay_schedule_matches_reference():
     np.testing.assert_allclose(float(s(0)), 5e-4)
     np.testing.assert_allclose(float(s(250_000)), 5e-5, rtol=1e-6)
     np.testing.assert_allclose(float(s(125_000)), 5e-4 * 0.1**0.5, rtol=1e-6)
+
+
+def test_fast_forward_schedule_resumes_decayed_lr():
+    """Ingesting a torch ckpt keeps fresh Adam moments but must resume the LR
+    schedule at global_step: a 150k-step flower finetune starts at
+    5e-4 * 0.1^(150k/250k) ~= 1.26e-4, not 5e-4 (reference run_nerf.py:355)."""
+    lrate, step0 = 5e-4, 150_000
+    params = {"w": jnp.ones((4,))}
+    for fix_backbone in (False, True):
+        p = {"sem_0": {"kernel": jnp.ones((4,))}} if fix_backbone else params
+        tx = make_optimizer(lrate, 0.1, 250_000, fix_backbone=fix_backbone, params=p)
+        state = TrainState.create(p, tx)
+        state = state.replace(opt_state=fast_forward_schedule(state.opt_state, step0))
+        grads = jax.tree_util.tree_map(jnp.ones_like, p)
+        new_state = state.apply_gradients(grads)
+        # first Adam step with constant grads moves each param by ~lr
+        delta = jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(lambda a, b: a - b, p, new_state.params)
+        )[0]
+        expected = lrate * 0.1 ** (step0 / 250_000)
+        np.testing.assert_allclose(np.array(delta), expected, rtol=1e-4)
 
 
 def test_semantic_head_mask_marks_only_sem():

@@ -68,6 +68,63 @@ def test_sos_grads_finite_including_sem_head(sos_setup, key):
     assert sem_g > 0  # correlation losses train the semantic head
 
 
+def test_dino_preprocessing_chain_matches_torch(rng):
+    """resize->norm->resize->norm must match the reference bit-for-bit:
+    trainer F.interpolate to P*stride + normalize_batch (trainer.py:104-106),
+    then the extractor's F.interpolate to 224 + normalize (extractor.py:205-208).
+    The DOUBLE ImageNet normalization is an upstream quirk, preserved."""
+    import torch
+    import torch.nn.functional as F
+
+    from nerfsos_tpu.models.extractor import normalize_imagenet, resize_nearest_torch
+
+    Bp, Pp, stride = 3, 16, 6
+    x = rng.random((Bp, Pp, Pp, 3)).astype(np.float32)
+
+    ours = resize_nearest_torch(jnp.array(x), Pp * stride, Pp * stride)
+    ours = normalize_imagenet(ours)
+    ours = resize_nearest_torch(ours, 224, 224)
+    ours = np.array(normalize_imagenet(ours))
+
+    mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
+    std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
+    t = torch.from_numpy(x).permute(0, 3, 1, 2)
+    t = F.interpolate(t, (Pp * stride, Pp * stride))  # default mode: nearest
+    t = (t - mean) / std
+    t = F.interpolate(t, (224, 224))
+    t = (t - mean) / std
+    ref = t.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_use_contrast_grads_flow_through_vit(sos_setup, key):
+    """With use_contrast on, gradients must flow through the (frozen) ViT into
+    the rendered RGB and hence the NeRF params (reference trainer.py:169-170).
+    Isolate the contrast term: rgb_w=0, correlation losses off. Needs B=3:
+    with B=2 the min and max off-diagonal CLS similarity coincide and the
+    contrast loss is the constant log(2) with an identically zero gradient."""
+    net, params, ext, dino_params, _, app, geo = sos_setup
+    B3 = 3
+    net3 = NeRFNet(NeRFConfig(netwidth=32, netdepth=2, netwidth_fine=32,
+                              netdepth_fine=2, n_samples=4, n_importance=4,
+                              multires=4, multires_views=2, use_semantics=True,
+                              sem_with_coord=True, ray_block=B3 * P * P))
+    cfg = SOSConfig(batch_size=B3, patch_size=P, patch_stride=STRIDE,
+                    rgb_w=0.0, use_correlation=False, use_geoCorr=False,
+                    use_contrast=True, contrast_w=1.0)
+    batch = {
+        "rays": jax.random.normal(key, (2, B3 * P * P, 3)),
+        "target": jax.random.uniform(jax.random.PRNGKey(9), (B3 * P * P, 3)),
+        "masks": jnp.zeros((B3 * P * P, 1), jnp.int32),
+    }
+    grads = jax.grad(
+        lambda p: sos_loss_fn(net3, ext, app, geo, cfg, p, dino_params,
+                              batch, key, 1.0, 4.0)[0]
+    )(params)
+    total = sum(float(jnp.sum(jnp.abs(v))) for v in jax.tree_util.tree_leaves(grads))
+    assert np.isfinite(total) and total > 0
+
+
 def test_sos_train_step_frozen_backbone(sos_setup, key):
     net, params, ext, dino_params, cfg, app, geo = sos_setup
     tx = make_optimizer(5e-4, fix_backbone=True, params=params)
