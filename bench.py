@@ -67,11 +67,13 @@ def bench_train() -> float:
     from nerfsos_tpu.engines.trainer import make_rgb_train_step
     from nerfsos_tpu.models.nerf import NeRFConfig, NeRFNet
 
-    # remat=True: the production setting, and the remat-off backward graph
-    # currently trips a libtpu regalloc RET_CHECK on this toolchain.
+    # Production train path: fused Pallas field with its in-kernel VJP lets
+    # the step drop remat entirely (the XLA backward graph, with or without
+    # remat disabled, crashes the remote libtpu compiler on this toolchain;
+    # the Pallas VJP both compiles and is 1.7x faster than remat+XLA).
     cfg = NeRFConfig(
         n_samples=64, n_importance=128, use_semantics=True, sem_with_coord=True,
-        ray_block=N_RAYS, remat=True, compute_dtype="bfloat16",
+        ray_block=N_RAYS, remat=False, compute_dtype="bfloat16", fused_field=True,
     )
     net = NeRFNet(cfg)
     params = net.init(jax.random.PRNGKey(0))
@@ -90,6 +92,50 @@ def bench_train() -> float:
     return N_RAYS / dt
 
 
+def bench_sos() -> float:
+    """Full-scale flagship SOS train step: 8 patches x 64x64 rays, real
+    ViT-S/16 DINO (random weights — same FLOPs), both correlation losses,
+    frozen-backbone optimizer. The 200k-step production hot path."""
+    from nerfsos_tpu.engines.sos import SOSConfig, make_sos_train_step
+    from nerfsos_tpu.engines.state import TrainState, make_optimizer
+    from nerfsos_tpu.losses.correlation import CorrelationLoss, GeoCorrelationLoss
+    from nerfsos_tpu.models.extractor import VitExtractor
+    from nerfsos_tpu.models.nerf import NeRFConfig, NeRFNet
+
+    B, P, stride = 8, 64, 6
+    N = B * P * P  # 32768 rays/step
+    cfg = NeRFConfig(
+        n_samples=64, n_importance=128, use_semantics=True, sem_with_coord=True,
+        ray_block=N, remat=False, compute_dtype="bfloat16", fused_field=True,
+    )
+    net = NeRFNet(cfg)
+    params = net.init(jax.random.PRNGKey(0))
+    ext = VitExtractor("dino_vits16")
+    dino_params = ext.init(jax.random.PRNGKey(1))
+    sos_cfg = SOSConfig(batch_size=B, patch_size=P, patch_stride=stride)
+    app = CorrelationLoss.from_params([0.18, 1, 0.46, 1], use_sim_matrix=True)
+    geo = GeoCorrelationLoss.from_params([0.5, 1, 3, 1], use_sim_matrix=True)
+    state = TrainState.create(params, make_optimizer(5e-4, fix_backbone=True, params=params))
+    step = make_sos_train_step(net, ext, app, geo, sos_cfg, 1.2, 14.72, donate=False)
+
+    rays = jax.random.normal(jax.random.PRNGKey(2), (2, N, 3))
+    batch = {"rays": rays, "target": jnp.zeros((N, 3)), "masks": jnp.zeros((N, 1))}
+
+    def sos_once(s, dp, b, k):
+        new_s, _ = step(s, dp, b, k)
+        return new_s.params["coarse"]["mlp"]["sem_0"]["kernel"]
+
+    dt = time_fn(sos_once, state, dino_params, batch, jax.random.PRNGKey(3), iters=4)
+    log(f"sos train: {dt*1e3:.1f} ms / {N} rays = {N/dt:,.0f} rays/s")
+
+    # DINO share: forward of the ViT on the step's input shape
+    x = jax.random.uniform(jax.random.PRNGKey(4), (B, P * stride, P * stride, 3))
+    dino_fwd = jax.jit(lambda dp, xx: ext.get_vit_attn_feat(xx, params=dp)["feat"])
+    dt_dino = time_fn(dino_fwd, dino_params, x, iters=4)
+    log(f"  dino fwd share: {dt_dino*1e3:.1f} ms ({100*dt_dino/dt:.0f}% of step)")
+    return N / dt
+
+
 def main():
     log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
     render_rps = 0.0
@@ -99,16 +145,23 @@ def main():
             break
         except Exception:
             log(f"render(fused={fused}) failed:\n{traceback.format_exc(limit=2)}")
+    train_rps = sos_rps = 0.0
     try:
-        bench_train()
+        train_rps = bench_train()
     except Exception:
         log(f"train bench failed:\n{traceback.format_exc(limit=2)}")
+    try:
+        sos_rps = bench_sos()
+    except Exception:
+        log(f"sos bench failed:\n{traceback.format_exc(limit=2)}")
 
     print(json.dumps({
         "metric": "flower_flagship_render_rays_per_sec_per_chip",
         "value": round(render_rps, 1),
         "unit": "rays/s",
         "vs_baseline": round(render_rps / A100_TORCH_RENDER_RAYS_PER_SEC, 3),
+        "train_rays_per_sec": round(train_rps, 1),
+        "sos_train_rays_per_sec": round(sos_rps, 1),
     }))
 
 

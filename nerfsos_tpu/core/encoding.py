@@ -99,7 +99,16 @@ def positional_encoding_fused(
     if max_freq is None:
         max_freq = float(n_freqs - 1)
     M, phase = _trig_matmul_consts(x.shape[-1], n_freqs, max_freq, log_sampling)
-    emb = jnp.sin(x @ jnp.asarray(M, x.dtype) + jnp.asarray(phase, x.dtype))
+    # precision=HIGHEST is load-bearing: TPU matmuls default to bf16-rounded
+    # inputs, and with frequencies up to 2^max_freq the resulting PHASE error
+    # is ~|x|*2^max_freq*2^-8 — radians — which turns sin into a different
+    # (deformed) encoding. HIGHEST keeps the phase accurate to fp32.
+    import jax
+
+    emb = jnp.sin(
+        jnp.dot(x, jnp.asarray(M, x.dtype), precision=jax.lax.Precision.HIGHEST)
+        + jnp.asarray(phase, x.dtype)
+    )
     if include_input:
         emb = jnp.concatenate([x, emb], axis=-1)
     return emb

@@ -28,14 +28,31 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _pe_phase(x: jnp.ndarray, M: jnp.ndarray, phase: jnp.ndarray) -> jnp.ndarray:
+    """x @ M + phase via exact fp32 multiply-adds on the VPU.
+
+    NOT a dot: the MXU rounds inputs to bf16, and with frequencies up to
+    2^max_freq the phase error is ~|x| * 2^max_freq * 2^-8 RADIANS — sin of
+    that is a deformed encoding (this exact bug shipped in round 1 and made
+    every on-chip fused render diverge from the reference while all CPU
+    interpret-mode parity tests passed). K=3, so elementwise is also fast.
+    """
+    return (phase[None, :] + x[:, 0:1] * M[0:1, :]
+            + x[:, 1:2] * M[1:2, :] + x[:, 2:3] * M[2:3, :])
+
+
+def _pe_phase_t(d: jnp.ndarray, M: jnp.ndarray) -> jnp.ndarray:
+    """d @ M^T via exact fp32 multiply-reduce (same MXU-rounding rationale as
+    _pe_phase: M carries frequencies up to 2^max_freq)."""
+    cols = [jnp.sum(d * M[c:c + 1, :], axis=1, keepdims=True) for c in range(3)]
+    return jnp.concatenate(cols, axis=-1)
+
+
 def _pe_in_kernel(x: jnp.ndarray, M: jnp.ndarray, phase: jnp.ndarray) -> jnp.ndarray:
-    """Reference-ordered PE as one matmul + one sin (see
-    core/encoding.positional_encoding_fused): 2F tiny 3-lane trig ops and a
-    2F-way lane concatenate are hostile to the VPU; sin(x @ M + phase) is one
-    well-tiled op. M/phase arrive as kernel operands (pallas forbids captured
-    traced constants)."""
-    emb = jnp.sin(jnp.dot(x, M, preferred_element_type=jnp.float32) + phase)
-    return jnp.concatenate([x, emb], axis=-1)
+    """Reference-ordered PE: [x, sin(x @ M + phase)] (see
+    core/encoding.positional_encoding_fused). M/phase arrive as kernel
+    operands (pallas forbids captured traced constants)."""
+    return jnp.concatenate([x, jnp.sin(_pe_phase(x, M, phase))], axis=-1)
 
 
 def _mm(a: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -60,7 +77,11 @@ def _field_kernel(
     h = emb
     for i in range(depth):
         k = next(it)
-        h = jnp.maximum(_mm(h, w_refs[k][:].astype(compute_dtype), b_refs[k][:]), 0.0)
+        # cast activations back to the compute dtype: a mixed f32 x bf16 dot
+        # promotes to an f32 MXU pass, silently tripling matmul cost
+        h = jnp.maximum(
+            _mm(h, w_refs[k][:].astype(compute_dtype), b_refs[k][:]), 0.0
+        ).astype(compute_dtype)
         if i in skips:
             h = jnp.concatenate([emb, h], axis=-1)
 
@@ -201,8 +222,244 @@ def _fused_fwd(ws, bs, pts_dirs, *static):
     return _fused_forward(ws, bs, pts_dirs, *static), (ws, bs, pts_dirs)
 
 
+# --------------------------------------------------------------------------
+# Fused Pallas BACKWARD: recompute the forward activations in VMEM per point
+# block (cheap — same fused chain), then run the full reverse sweep in-kernel.
+# Weight/bias grads accumulate in fp32 output buffers that stay VMEM-resident
+# across the sequential TPU grid (constant index_map = the standard reduction
+# pattern); input grads (dpts/ddirs) stream out per block. This replaces the
+# round-1 backward (jax.vjp of the pure-XLA twin), whose HBM-bound layer-by-
+# layer matmuls made training 4.3x slower than rendering.
+# --------------------------------------------------------------------------
+
+
+def _tm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """a^T @ b: [K, M], [K, N] -> [M, N], fp32 accumulate."""
+    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _mt(a: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """a @ w^T: [M, N], [K, N] -> [M, K], fp32 accumulate."""
+    return jax.lax.dot_general(a, w, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _relu_bwd(act: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
+    """Zero d where the (post-relu) activation is 0. Compared in fp32 —
+    Mosaic on this toolchain rejects bf16 comparisons."""
+    return jnp.where(act.astype(jnp.float32) > 0, d, 0.0)
+
+
+def _field_bwd_kernel(
+    pts_ref, dirs_ref, g_ref, m_pts_ref, ph_pts_ref, m_dirs_ref, ph_dirs_ref,
+    *refs,
+    depth: int, skips: Tuple[int, ...], use_semantics: bool,
+    sem_with_coord: bool, compute_dtype,
+):
+    n_w = depth + 4 + (2 if use_semantics else 0)
+    w_refs = refs[:n_w]
+    b_refs = refs[n_w:2 * n_w]
+    dw_refs = refs[2 * n_w:3 * n_w]
+    db_refs = refs[3 * n_w:4 * n_w]
+    dpts_ref, ddirs_ref = refs[4 * n_w], refs[4 * n_w + 1]
+
+    i_blk = pl.program_id(0)
+
+    @pl.when(i_blk == 0)
+    def _init():
+        for r in dw_refs + db_refs:
+            r[:] = jnp.zeros_like(r)
+
+    cd = compute_dtype
+
+    # ---- forward recompute, saving what the reverse sweep needs ----------
+    pts = pts_ref[:].astype(jnp.float32)
+    pre_p = _pe_phase(pts, m_pts_ref[:], ph_pts_ref[:])  # exact fp32 phase
+    emb = jnp.concatenate([pts, jnp.sin(pre_p)], axis=-1).astype(cd)
+
+    it = iter(range(n_w))
+    acts = []  # post-relu activation of each trunk layer, compute dtype
+    ins = [emb]  # input of each trunk layer
+    h = emb
+    for i in range(depth):
+        k = next(it)
+        a = jnp.maximum(_mm(h, w_refs[k][:], b_refs[k][:]), 0.0).astype(cd)
+        acts.append(a)
+        h = jnp.concatenate([emb, a], axis=-1) if i in skips else a
+        if i + 1 < depth:
+            ins.append(h)
+
+    k_alpha, k_feat, k_views, k_rgb = next(it), next(it), next(it), next(it)
+    if use_semantics:
+        k_s0, k_s1 = next(it), next(it)
+        sem_in = jnp.concatenate([h, emb], axis=-1) if sem_with_coord else h
+        s = jnp.maximum(_mm(sem_in, w_refs[k_s0][:], b_refs[k_s0][:]), 0.0).astype(cd)
+
+    dirs = dirs_ref[:].astype(jnp.float32)
+    pre_d = _pe_phase(dirs, m_dirs_ref[:], ph_dirs_ref[:])  # exact fp32 phase
+    demb = jnp.concatenate([dirs, jnp.sin(pre_d)], axis=-1).astype(cd)
+    feat = _mm(h, w_refs[k_feat][:], b_refs[k_feat][:]).astype(cd)
+    hv_in = jnp.concatenate([feat, demb], axis=-1)
+    hv = jnp.maximum(_mm(hv_in, w_refs[k_views][:], b_refs[k_views][:]), 0.0).astype(cd)
+
+    # ---- reverse sweep ----------------------------------------------------
+    g = g_ref[:].astype(jnp.float32)  # [blk, 3 + 1 + sem]
+    d_rgb = g[:, 0:3].astype(cd)
+    d_alpha = g[:, 3:4].astype(cd)
+
+    # rgb head
+    dw_refs[k_rgb][:] += _tm(hv, d_rgb)
+    db_refs[k_rgb][:] += jnp.sum(d_rgb.astype(jnp.float32), 0, keepdims=True)
+    dhv = _mt(d_rgb, w_refs[k_rgb][:])
+    dhv = _relu_bwd(hv, dhv).astype(cd)
+
+    # views layer
+    dw_refs[k_views][:] += _tm(hv_in, dhv)
+    db_refs[k_views][:] += jnp.sum(dhv.astype(jnp.float32), 0, keepdims=True)
+    dhv_in = _mt(dhv, w_refs[k_views][:])
+    W_feat_out = feat.shape[-1]
+    d_feat = dhv_in[:, :W_feat_out].astype(cd)
+    d_demb = dhv_in[:, W_feat_out:]
+
+    # dirs <- PE backward (raw-channel passthrough + sin chain rule)
+    d_sin_d = (d_demb[:, 3:] * jnp.cos(pre_d)).astype(jnp.float32)
+    ddirs_ref[:] = d_demb[:, :3] + _pe_phase_t(d_sin_d, m_dirs_ref[:])
+
+    # feature head
+    dw_refs[k_feat][:] += _tm(h, d_feat)
+    db_refs[k_feat][:] += jnp.sum(d_feat.astype(jnp.float32), 0, keepdims=True)
+    dh = _mt(d_feat, w_refs[k_feat][:])
+
+    # alpha head
+    dw_refs[k_alpha][:] += _tm(h, d_alpha)
+    db_refs[k_alpha][:] += jnp.sum(d_alpha.astype(jnp.float32), 0, keepdims=True)
+    dh += _mt(d_alpha, w_refs[k_alpha][:])
+
+    demb_acc = jnp.zeros_like(emb, dtype=jnp.float32)
+
+    # semantic head
+    if use_semantics:
+        d_sem = g[:, 4:].astype(cd)
+        dw_refs[k_s1][:] += _tm(s, d_sem)
+        db_refs[k_s1][:] += jnp.sum(d_sem.astype(jnp.float32), 0, keepdims=True)
+        ds = _mt(d_sem, w_refs[k_s1][:])
+        ds = _relu_bwd(s, ds).astype(cd)
+        dw_refs[k_s0][:] += _tm(sem_in, ds)
+        db_refs[k_s0][:] += jnp.sum(ds.astype(jnp.float32), 0, keepdims=True)
+        dsem_in = _mt(ds, w_refs[k_s0][:])
+        if sem_with_coord:
+            dh += dsem_in[:, :h.shape[-1]]
+            demb_acc += dsem_in[:, h.shape[-1]:]
+        else:
+            dh += dsem_in
+
+    # trunk, reversed (skip layers split their concat gradient)
+    dcur = dh
+    for i in reversed(range(depth)):
+        if i in skips:
+            demb_acc += dcur[:, :emb.shape[-1]]
+            dcur = dcur[:, emb.shape[-1]:]
+        dpre = _relu_bwd(acts[i], dcur).astype(cd)
+        dw_refs[i][:] += _tm(ins[i], dpre)
+        db_refs[i][:] += jnp.sum(dpre.astype(jnp.float32), 0, keepdims=True)
+        dcur = _mt(dpre, w_refs[i][:])
+    demb_acc += dcur
+
+    # pts <- PE backward
+    d_sin_p = (demb_acc[:, 3:] * jnp.cos(pre_p)).astype(jnp.float32)
+    dpts_ref[:] = demb_acc[:, :3] + _pe_phase_t(d_sin_p, m_pts_ref[:])
+
+
+def _fused_backward(ws, bs, pts_dirs, g, depth, skips, multires, multires_views,
+                    use_semantics, sem_with_coord, compute_dtype_name,
+                    block: Optional[int] = None, interpret: Optional[bool] = None):
+    pts, dirs = pts_dirs
+    N = pts.shape[0]
+    compute_dtype = jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
+    if block is None:
+        # VMEM budget: saved activations + weights + fp32 grad accumulators
+        # (~16 MB limit; fp32 activations double the footprint)
+        block = 512 if compute_dtype == jnp.bfloat16 else 256
+
+    blk = min(block, max(N, 8))
+    n_blocks = -(-N // blk)
+    pad = n_blocks * blk - N
+    if pad:
+        pts = jnp.concatenate([pts, jnp.zeros((pad, 3), pts.dtype)], 0)
+        dirs = jnp.concatenate([dirs, jnp.zeros((pad, 3), dirs.dtype)], 0)
+        g = jnp.concatenate([g, jnp.zeros((pad, g.shape[1]), g.dtype)], 0)
+
+    w_shapes = [w.shape for w in ws]
+    b_shapes = [b.shape for b in bs]
+    ws_c = tuple(w.astype(compute_dtype) for w in ws)
+    bs_f = tuple(b.astype(jnp.float32) for b in bs)
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    kernel = functools.partial(
+        _field_bwd_kernel, depth=depth, skips=skips,
+        use_semantics=use_semantics, sem_with_coord=sem_with_coord,
+        compute_dtype=compute_dtype,
+    )
+    from nerfsos_tpu.core.encoding import _trig_matmul_consts
+
+    m_pts, ph_pts = _trig_matmul_consts(3, multires, float(multires - 1), True)
+    m_dirs, ph_dirs = _trig_matmul_consts(3, multires_views, float(multires_views - 1), True)
+    pe_args = tuple(jnp.asarray(a) for a in (m_pts, ph_pts, m_dirs, ph_dirs))
+
+    full = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
+                                    memory_space=pltpu.VMEM)
+    acc2d = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                       memory_space=pltpu.VMEM)
+    out_shapes = (
+        [jax.ShapeDtypeStruct(s, jnp.float32) for s in w_shapes]          # dws
+        + [jax.ShapeDtypeStruct((1, s[0]), jnp.float32) for s in b_shapes]  # dbs
+        + [jax.ShapeDtypeStruct((n_blocks * blk, 3), jnp.float32),        # dpts
+           jax.ShapeDtypeStruct((n_blocks * blk, 3), jnp.float32)]        # ddirs
+    )
+    out_specs = (
+        [acc2d(s) for s in w_shapes]
+        + [acc2d((1, s[0])) for s in b_shapes]
+        + [pl.BlockSpec((blk, 3), lambda i: (i, 0), memory_space=pltpu.VMEM)] * 2
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((blk, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, g.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            *[full(a) for a in pe_args],
+            *[full(w) for w in ws_c],
+            *[full(b) for b in bs_f],
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(pts, dirs, g, *pe_args, *ws_c, *bs_f)
+
+    n_w = len(ws)
+    dws = tuple(outs[i].astype(ws[i].dtype) for i in range(n_w))
+    dbs = tuple(outs[n_w + i][0].astype(bs[i].dtype) for i in range(n_w))
+    dpts, ddirs = outs[2 * n_w], outs[2 * n_w + 1]
+    if pad:
+        dpts, ddirs = dpts[:N], ddirs[:N]
+    return dws, dbs, (dpts.astype(pts_dirs[0].dtype), ddirs.astype(pts_dirs[1].dtype))
+
+
 def _fused_bwd(depth, skips, multires, multires_views, use_semantics,
                sem_with_coord, compute_dtype_name, residuals, g):
+    ws, bs, pts_dirs = residuals
+    return _fused_backward(ws, bs, pts_dirs, g, depth, skips, multires,
+                           multires_views, use_semantics, sem_with_coord,
+                           compute_dtype_name)
+
+
+def _xla_bwd(depth, skips, multires, multires_views, use_semantics,
+             sem_with_coord, residuals, g):
+    """Round-1 backward (vjp of the XLA twin); kept as the parity oracle."""
     ws, bs, pts_dirs = residuals
     _, vjp = jax.vjp(
         lambda w, b, pd: _xla_reference(w, b, pd, depth, skips, multires,

@@ -82,6 +82,9 @@ def create_arg_parser() -> ConfigArgumentParser:
     parser.add_argument("--compute_dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"],
                         help="MLP activation dtype (bfloat16 targets the MXU)")
+    parser.add_argument("--no_fused_field", action="store_true",
+                        help="disable the fused Pallas field kernel on TPU "
+                             "(falls back to the XLA field with remat)")
 
     # rendering options
     parser.add_argument("--N_samples", type=int, default=64)
@@ -153,6 +156,8 @@ def create_arg_parser() -> ConfigArgumentParser:
 
 
 def build_model(args):
+    import jax
+
     from nerfsos_tpu.models.mip import MipNeRFNet
     from nerfsos_tpu.models.nerf import NeRFConfig, NeRFNet
 
@@ -171,6 +176,16 @@ def build_model(args):
     )
     if args.mipnerf:
         return MipNeRFNet(cfg), cfg
+    # Production TPU path: the fused Pallas field (forward + in-kernel VJP)
+    # lets the train step drop remat — 63.9k vs 37.7k rays/s train measured on
+    # one v5e. CPU keeps the XLA field (interpret-mode pallas is debug-only).
+    if jax.default_backend() == "tpu" and not args.no_fused_field:
+        from nerfsos_tpu.ops.pallas.fused_field import supports_fused
+
+        if supports_fused(cfg):
+            import dataclasses as _dc
+
+            cfg = _dc.replace(cfg, fused_field=True, remat=False)
     return NeRFNet(cfg), cfg
 
 

@@ -74,6 +74,59 @@ def test_fused_gradients_match_xla(small_cfg_net, key):
                                    err_msg=jax.tree_util.keystr(path))
 
 
+def test_pallas_backward_matches_xla_vjp(small_cfg_net, key):
+    """The in-kernel reverse sweep (_fused_backward) vs jax.vjp of the XLA
+    twin, ragged N (pad path) included."""
+    from nerfsos_tpu.ops.pallas.fused_field import (
+        _flatten_mlp_params, _fused_backward, _xla_bwd,
+    )
+
+    cfg, net, params = small_cfg_net
+    ws, bs = _flatten_mlp_params(params["coarse"]["mlp"], cfg.netdepth, True)
+    ws, bs = tuple(ws), tuple(bs)
+    N = 77  # not a block multiple
+    pts = jax.random.normal(key, (N, 3))
+    dirs = jax.random.normal(jax.random.PRNGKey(5), (N, 3))
+    g = jax.random.normal(jax.random.PRNGKey(6), (N, 6))
+
+    ref = _xla_bwd(cfg.netdepth, (4,), cfg.multires, cfg.multires_views,
+                   True, True, (ws, bs, (pts, dirs)), g)
+    got = _fused_backward(ws, bs, (pts, dirs), g, cfg.netdepth, (4,),
+                          cfg.multires, cfg.multires_views, True, True,
+                          "float32", block=32, interpret=True)
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(ref)[0],
+        jax.tree_util.tree_flatten_with_path(got)[0],
+    ):
+        # rtol 1e-3: PE frequencies up to 2^(multires-1)=512 amplify fp32
+        # accumulation-order differences in the dpts chain rule
+        np.testing.assert_allclose(np.array(a), np.array(b), atol=1e-3, rtol=1e-3,
+                                   err_msg=jax.tree_util.keystr(path))
+
+
+def test_pallas_backward_no_semantics(key):
+    from nerfsos_tpu.ops.pallas.fused_field import (
+        _flatten_mlp_params, _fused_backward, _xla_bwd,
+    )
+
+    cfg = NeRFConfig(netdepth=4, netwidth=32, n_samples=4, n_importance=0,
+                     multires=6, multires_views=3, use_semantics=False)
+    net = NeRFNet(cfg)
+    params = net.init(key)
+    ws, bs = _flatten_mlp_params(params["coarse"]["mlp"], cfg.netdepth, False)
+    ws, bs = tuple(ws), tuple(bs)
+    pts = jax.random.normal(key, (40, 3))
+    dirs = jax.random.normal(jax.random.PRNGKey(7), (40, 3))
+    g = jax.random.normal(jax.random.PRNGKey(8), (40, 4))
+    ref = _xla_bwd(cfg.netdepth, (4,), cfg.multires, cfg.multires_views,
+                   False, False, (ws, bs, (pts, dirs)), g)
+    got = _fused_backward(ws, bs, (pts, dirs), g, cfg.netdepth, (4,),
+                          cfg.multires, cfg.multires_views, False, False,
+                          "float32", block=40, interpret=True)
+    for a, b in zip(jax.tree_util.tree_leaves(ref), jax.tree_util.tree_leaves(got)):
+        np.testing.assert_allclose(np.array(a), np.array(b), atol=1e-4, rtol=1e-4)
+
+
 def test_fused_end_to_end_render_matches(small_cfg_net, key):
     cfg, net, params = small_cfg_net
     fused_net = NeRFNet(NeRFConfig(**{**vars(cfg), "fused_field": True}))
