@@ -243,6 +243,33 @@ def test_export_density(eval_net, tmp_path):
     np.testing.assert_allclose(read_mrc(str(tmp_path / "density.mrc")), sigma, atol=0)
 
 
+def test_find_fg_flip_non_divisible_resolution(key, rng):
+    """The DINO fg-orientation flip must handle images whose H/W are not a
+    multiple of the ViT patch size (e.g. the real LLFF flower test frames are
+    756x1008; 756/16 = 47.25). The repo crops to a patch multiple — the
+    reference silently relies on divisibility. Also check the flip semantics:
+    when attention mass favors cluster 0, labels invert."""
+    from nerfsos_tpu.engines.eval import find_fg_flip
+    from nerfsos_tpu.models import vit as vit_lib
+    from nerfsos_tpu.models.extractor import VitExtractor
+
+    ext = VitExtractor("dino_vits16")
+    ext.vit = vit_lib.VisionTransformer(patch_size=16, embed_dim=32, depth=2,
+                                        num_heads=2, pos_embed_size=224)
+    ext.init(key)
+
+    H, W = 36, 52  # 36 = 2.25 patches, 52 = 3.25 patches
+    rgb = rng.random((H, W, 3)).astype(np.float32)
+    clustering = (rng.random((H, W, 1)) > 0.5).astype(np.int32)
+    flipped = find_fg_flip(ext, rgb, clustering)
+    assert flipped.shape == clustering.shape
+    assert set(np.unique(flipped)).issubset({0, 1})
+    # flip is an involution up to orientation: either identical or inverted
+    same = np.array_equal(flipped, clustering)
+    inv = np.array_equal(flipped, 1 - clustering)
+    assert same or inv
+
+
 def test_merge_params_nostrict_keeps_new_head():
     from nerfsos_tpu.engines.checkpoint import merge_params
 
