@@ -65,6 +65,12 @@ class NeRFConfig:
     remat: bool = True  # rematerialize block bodies in backward
     compute_dtype: str = "float32"  # MLP activation dtype ("bfloat16" for MXU)
     fused_field: bool = False  # Pallas fused PE+MLP kernel (ops/pallas)
+    # When False, the fused kernel's backward SKIPS input (pts/dirs) gradients
+    # and returns exact zeros for them — correct for every shipped training
+    # path (rays are data; importance z-vals are detached). Set True if
+    # anything trainable sits upstream of the field inputs (e.g. a camera
+    # transformer optimized through the render).
+    field_input_grads: bool = False
 
     @property
     def shared_fine(self) -> bool:

@@ -127,10 +127,11 @@ def supports_fused(cfg) -> bool:
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9)
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10)
 )
 def _fused_apply(ws, bs, pts_dirs, depth, skips, multires, multires_views,
-                 use_semantics, sem_with_coord, compute_dtype_name):
+                 use_semantics, sem_with_coord, compute_dtype_name,
+                 input_grads=True):
     return _fused_forward(ws, bs, pts_dirs, depth, skips, multires, multires_views,
                           use_semantics, sem_with_coord, compute_dtype_name)
 
@@ -219,7 +220,9 @@ def _xla_reference(ws, bs, pts_dirs, depth, skips, multires, multires_views,
 
 
 def _fused_fwd(ws, bs, pts_dirs, *static):
-    return _fused_forward(ws, bs, pts_dirs, *static), (ws, bs, pts_dirs)
+    # static = (..., compute_dtype_name, input_grads); the forward doesn't
+    # consume input_grads — it must not spill into _fused_forward's `block`.
+    return _fused_forward(ws, bs, pts_dirs, *static[:7]), (ws, bs, pts_dirs)
 
 
 # --------------------------------------------------------------------------
@@ -255,14 +258,15 @@ def _field_bwd_kernel(
     pts_ref, dirs_ref, g_ref, m_pts_ref, ph_pts_ref, m_dirs_ref, ph_dirs_ref,
     *refs,
     depth: int, skips: Tuple[int, ...], use_semantics: bool,
-    sem_with_coord: bool, compute_dtype,
+    sem_with_coord: bool, compute_dtype, input_grads: bool,
 ):
     n_w = depth + 4 + (2 if use_semantics else 0)
     w_refs = refs[:n_w]
     b_refs = refs[n_w:2 * n_w]
     dw_refs = refs[2 * n_w:3 * n_w]
     db_refs = refs[3 * n_w:4 * n_w]
-    dpts_ref, ddirs_ref = refs[4 * n_w], refs[4 * n_w + 1]
+    if input_grads:
+        dpts_ref, ddirs_ref = refs[4 * n_w], refs[4 * n_w + 1]
 
     i_blk = pl.program_id(0)
 
@@ -323,8 +327,9 @@ def _field_bwd_kernel(
     d_demb = dhv_in[:, W_feat_out:]
 
     # dirs <- PE backward (raw-channel passthrough + sin chain rule)
-    d_sin_d = (d_demb[:, 3:] * jnp.cos(pre_d)).astype(jnp.float32)
-    ddirs_ref[:] = d_demb[:, :3] + _pe_phase_t(d_sin_d, m_dirs_ref[:])
+    if input_grads:
+        d_sin_d = (d_demb[:, 3:] * jnp.cos(pre_d)).astype(jnp.float32)
+        ddirs_ref[:] = d_demb[:, :3] + _pe_phase_t(d_sin_d, m_dirs_ref[:])
 
     # feature head
     dw_refs[k_feat][:] += _tm(h, d_feat)
@@ -336,7 +341,7 @@ def _field_bwd_kernel(
     db_refs[k_alpha][:] += jnp.sum(d_alpha.astype(jnp.float32), 0, keepdims=True)
     dh += _mt(d_alpha, w_refs[k_alpha][:])
 
-    demb_acc = jnp.zeros_like(emb, dtype=jnp.float32)
+    demb_acc = jnp.zeros_like(emb, dtype=jnp.float32) if input_grads else None
 
     # semantic head
     if use_semantics:
@@ -350,7 +355,8 @@ def _field_bwd_kernel(
         dsem_in = _mt(ds, w_refs[k_s0][:])
         if sem_with_coord:
             dh += dsem_in[:, :h.shape[-1]]
-            demb_acc += dsem_in[:, h.shape[-1]:]
+            if input_grads:
+                demb_acc += dsem_in[:, h.shape[-1]:]
         else:
             dh += dsem_in
 
@@ -358,22 +364,25 @@ def _field_bwd_kernel(
     dcur = dh
     for i in reversed(range(depth)):
         if i in skips:
-            demb_acc += dcur[:, :emb.shape[-1]]
+            if input_grads:
+                demb_acc += dcur[:, :emb.shape[-1]]
             dcur = dcur[:, emb.shape[-1]:]
         dpre = _relu_bwd(acts[i], dcur).astype(cd)
         dw_refs[i][:] += _tm(ins[i], dpre)
         db_refs[i][:] += jnp.sum(dpre.astype(jnp.float32), 0, keepdims=True)
         dcur = _mt(dpre, w_refs[i][:])
-    demb_acc += dcur
 
     # pts <- PE backward
-    d_sin_p = (demb_acc[:, 3:] * jnp.cos(pre_p)).astype(jnp.float32)
-    dpts_ref[:] = demb_acc[:, :3] + _pe_phase_t(d_sin_p, m_pts_ref[:])
+    if input_grads:
+        demb_acc += dcur
+        d_sin_p = (demb_acc[:, 3:] * jnp.cos(pre_p)).astype(jnp.float32)
+        dpts_ref[:] = demb_acc[:, :3] + _pe_phase_t(d_sin_p, m_pts_ref[:])
 
 
 def _fused_backward(ws, bs, pts_dirs, g, depth, skips, multires, multires_views,
                     use_semantics, sem_with_coord, compute_dtype_name,
-                    block: Optional[int] = None, interpret: Optional[bool] = None):
+                    block: Optional[int] = None, interpret: Optional[bool] = None,
+                    input_grads: bool = True):
     pts, dirs = pts_dirs
     N = pts.shape[0]
     compute_dtype = jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
@@ -401,7 +410,7 @@ def _fused_backward(ws, bs, pts_dirs, g, depth, skips, multires, multires_views,
     kernel = functools.partial(
         _field_bwd_kernel, depth=depth, skips=skips,
         use_semantics=use_semantics, sem_with_coord=sem_with_coord,
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, input_grads=input_grads,
     )
     from nerfsos_tpu.core.encoding import _trig_matmul_consts
 
@@ -416,14 +425,16 @@ def _fused_backward(ws, bs, pts_dirs, g, depth, skips, multires, multires_views,
     out_shapes = (
         [jax.ShapeDtypeStruct(s, jnp.float32) for s in w_shapes]          # dws
         + [jax.ShapeDtypeStruct((1, s[0]), jnp.float32) for s in b_shapes]  # dbs
-        + [jax.ShapeDtypeStruct((n_blocks * blk, 3), jnp.float32),        # dpts
-           jax.ShapeDtypeStruct((n_blocks * blk, 3), jnp.float32)]        # ddirs
     )
     out_specs = (
         [acc2d(s) for s in w_shapes]
         + [acc2d((1, s[0])) for s in b_shapes]
-        + [pl.BlockSpec((blk, 3), lambda i: (i, 0), memory_space=pltpu.VMEM)] * 2
     )
+    if input_grads:
+        out_shapes += [jax.ShapeDtypeStruct((n_blocks * blk, 3), jnp.float32),
+                       jax.ShapeDtypeStruct((n_blocks * blk, 3), jnp.float32)]
+        out_specs += [pl.BlockSpec((blk, 3), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)] * 2
     outs = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
@@ -443,6 +454,11 @@ def _fused_backward(ws, bs, pts_dirs, g, depth, skips, multires, multires_views,
     n_w = len(ws)
     dws = tuple(outs[i].astype(ws[i].dtype) for i in range(n_w))
     dbs = tuple(outs[n_w + i][0].astype(bs[i].dtype) for i in range(n_w))
+    if not input_grads:
+        # Rays are data in every shipped training path — the caller declared
+        # (cfg.field_input_grads=False) that nothing upstream of pts/dirs is
+        # trainable, so zeros are the exact cotangents.
+        return dws, dbs, (jnp.zeros_like(pts_dirs[0]), jnp.zeros_like(pts_dirs[1]))
     dpts, ddirs = outs[2 * n_w], outs[2 * n_w + 1]
     if pad:
         dpts, ddirs = dpts[:N], ddirs[:N]
@@ -450,11 +466,11 @@ def _fused_backward(ws, bs, pts_dirs, g, depth, skips, multires, multires_views,
 
 
 def _fused_bwd(depth, skips, multires, multires_views, use_semantics,
-               sem_with_coord, compute_dtype_name, residuals, g):
+               sem_with_coord, compute_dtype_name, input_grads, residuals, g):
     ws, bs, pts_dirs = residuals
     return _fused_backward(ws, bs, pts_dirs, g, depth, skips, multires,
                            multires_views, use_semantics, sem_with_coord,
-                           compute_dtype_name)
+                           compute_dtype_name, input_grads=input_grads)
 
 
 def _xla_bwd(depth, skips, multires, multires_views, use_semantics,
@@ -494,5 +510,6 @@ def fused_field_apply(params: Dict[str, Any], pts: jnp.ndarray,
         tuple(ws), tuple(bs), (flat_pts, flat_dirs),
         depth, (4,), cfg.multires, cfg.multires_views,
         cfg.use_semantics, cfg.sem_with_coord, cfg.compute_dtype,
+        getattr(cfg, "field_input_grads", True),
     )
     return out.reshape(*lead, out.shape[-1])

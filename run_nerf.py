@@ -328,7 +328,14 @@ def main(args):
                         )
                     )
                 except Exception:
+                    # mismatched opt structure (e.g. resuming a plain-Adam
+                    # pretrain into a fix_backbone multi_transform): keep the
+                    # fresh opt state but resume the LR schedule at
+                    # global_step (reference scheduler.step(global_step))
                     print("[Error]: optimizer initialization failed!")
+                    state = state.replace(
+                        opt_state=fast_forward_schedule(state.opt_state, global_step)
+                    )
 
     # datasets
     print("Loading nerf data:", args.data_path)

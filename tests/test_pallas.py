@@ -104,6 +104,33 @@ def test_pallas_backward_matches_xla_vjp(small_cfg_net, key):
                                    err_msg=jax.tree_util.keystr(path))
 
 
+def test_pallas_backward_input_grads_off(small_cfg_net, key):
+    """input_grads=False (the production train setting: rays are data) must
+    leave weight/bias grads identical and return exact zero input grads."""
+    from nerfsos_tpu.ops.pallas.fused_field import (
+        _flatten_mlp_params, _fused_backward,
+    )
+
+    cfg, net, params = small_cfg_net
+    ws, bs = _flatten_mlp_params(params["coarse"]["mlp"], cfg.netdepth, True)
+    ws, bs = tuple(ws), tuple(bs)
+    N = 48
+    pts = jax.random.normal(key, (N, 3))
+    dirs = jax.random.normal(jax.random.PRNGKey(9), (N, 3))
+    g = jax.random.normal(jax.random.PRNGKey(10), (N, 6))
+    full = _fused_backward(ws, bs, (pts, dirs), g, cfg.netdepth, (4,),
+                           cfg.multires, cfg.multires_views, True, True,
+                           "float32", block=48, interpret=True)
+    lite = _fused_backward(ws, bs, (pts, dirs), g, cfg.netdepth, (4,),
+                           cfg.multires, cfg.multires_views, True, True,
+                           "float32", block=48, interpret=True, input_grads=False)
+    for a, b in zip(jax.tree_util.tree_leaves(full[:2]),
+                    jax.tree_util.tree_leaves(lite[:2])):
+        np.testing.assert_allclose(np.array(a), np.array(b), atol=1e-6)
+    np.testing.assert_allclose(np.array(lite[2][0]), 0.0)
+    np.testing.assert_allclose(np.array(lite[2][1]), 0.0)
+
+
 def test_pallas_backward_no_semantics(key):
     from nerfsos_tpu.ops.pallas.fused_field import (
         _flatten_mlp_params, _fused_backward, _xla_bwd,

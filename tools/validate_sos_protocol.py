@@ -120,15 +120,18 @@ def main():
     root = "/tmp/sos_protocol"
     data = os.path.join(root, "data")
     logs = os.path.join(root, "logs")
+    skip_pretrain = "--skip-pretrain" in sys.argv and os.path.exists(
+        os.path.join(logs, "pretrain", "eval", "log.json"))
     build_dataset(data)
     print("dataset written:", data)
 
     # ---- 1. RGB pretrain (semantic head present but untrained) -------------
-    run_nerf.main(_args(
-        data, logs, "--expname", "pretrain", "--max_steps", "1500",
-        "--batch_size", "4096", "--use_semantics", "--sem_with_coord",
-        "--raw_noise_std", "1.0",
-    ))
+    if not skip_pretrain:
+        run_nerf.main(_args(
+            data, logs, "--expname", "pretrain", "--max_steps", "1500",
+            "--batch_size", "4096", "--use_semantics", "--sem_with_coord",
+            "--raw_noise_std", "1.0",
+        ))
     with open(os.path.join(logs, "pretrain", "eval", "log.json")) as f:
         pre = json.load(f)
     pre_psnr = pre["total_psnr"]
@@ -136,8 +139,10 @@ def main():
 
     # ---- 2. frozen-backbone geo-corr patch finetune ------------------------
     ckpt = os.path.join(logs, "pretrain", "checkpoints", "last")
+    # max_steps is GLOBAL (reference semantics): the ingested checkpoint
+    # resumes at step 1500, so 2000 = 500 finetune steps.
     run_nerf.main(_args(
-        data, logs, "--expname", "finetune", "--max_steps", "500",
+        data, logs, "--expname", "finetune", "--max_steps", "2000",
         "--use_semantics", "--sem_with_coord", "--raw_noise_std", "1.0",
         "--patch_tune", "--patch_size", "16", "--patch_stride", "2",
         "--batch_size", "8", "--fix_backbone",
