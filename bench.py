@@ -45,7 +45,12 @@ def time_fn(fn, *args, iters=6, warmup=2):
     return (time.perf_counter() - t0) / iters
 
 
-def bench_render(fused: bool) -> float:
+def bench_render(fused: bool, coarse_outputs: bool = False) -> float:
+    """Image-render throughput. ``coarse_outputs=False`` is the eval/video
+    path (engines/eval.make_render_fn default): the coarse pass runs the
+    density-only Pallas kernel — just enough for importance sampling — because
+    no eval consumer reads the '0'-suffixed maps. ``True`` measures the full
+    reference-parity render (every output the reference computes)."""
     from nerfsos_tpu.models.nerf import NeRFConfig, NeRFNet
 
     cfg = NeRFConfig(
@@ -55,9 +60,10 @@ def bench_render(fused: bool) -> float:
     net = NeRFNet(cfg)
     params = net.init(jax.random.PRNGKey(0))
     rays = jax.random.normal(jax.random.PRNGKey(1), (2, N_RAYS, 3))
-    render = jax.jit(lambda p, r: net(p, r, (1.2, 14.72), train=False)["rgb"])
+    render = jax.jit(lambda p, r: net(p, r, (1.2, 14.72), train=False,
+                                      coarse_outputs=coarse_outputs)["rgb"])
     dt = time_fn(render, params, rays)
-    name = "pallas" if fused else "xla"
+    name = ("pallas" if fused else "xla") + ("/full" if coarse_outputs else "/eval")
     log(f"render[{name}]: {dt*1e3:.1f} ms / {N_RAYS} rays = {N_RAYS/dt:,.0f} rays/s")
     return N_RAYS / dt
 
@@ -138,10 +144,11 @@ def bench_sos() -> float:
 
 def main():
     log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
-    render_rps = 0.0
+    render_rps = render_full_rps = 0.0
     for fused in (True, False):
         try:
-            render_rps = bench_render(fused)
+            render_rps = bench_render(fused)  # eval path (the headline)
+            render_full_rps = bench_render(fused, coarse_outputs=True)
             break
         except Exception:
             log(f"render(fused={fused}) failed:\n{traceback.format_exc(limit=2)}")
@@ -160,6 +167,7 @@ def main():
         "value": round(render_rps, 1),
         "unit": "rays/s",
         "vs_baseline": round(render_rps / A100_TORCH_RENDER_RAYS_PER_SEC, 3),
+        "render_full_outputs_rays_per_sec": round(render_full_rps, 1),
         "train_rays_per_sec": round(train_rps, 1),
         "sos_train_rays_per_sec": round(sos_rps, 1),
     }))

@@ -26,6 +26,33 @@ def exclusive_cumprod_1m(alpha: jnp.ndarray) -> jnp.ndarray:
     return jnp.cumprod(shifted, axis=-1)
 
 
+def sigma_to_weights(
+    sigma: jnp.ndarray,
+    z_vals: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    *,
+    raw_noise_std: float = 0.0,
+    noise_key: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Quadrature weights from raw densities alone (no color compositing).
+
+    Exactly the weights math of ``volumetric_render`` (reference
+    ``models/renderer.py:48-59``), split out so a sigma-only coarse pass can
+    drive importance sampling without computing the color/semantic heads
+    (the fused Pallas field is opaque to XLA dead-code elimination, so the
+    skip must happen at the call site).
+    """
+    dists = z_vals[..., 1:] - z_vals[..., :-1]
+    dists = jnp.concatenate([dists, jnp.full_like(dists[..., :1], 1e10)], axis=-1)
+    dists = dists * jnp.linalg.norm(rays_d[..., None, :], axis=-1)
+
+    if raw_noise_std > 0.0:
+        sigma = sigma + jax.random.normal(noise_key, sigma.shape, sigma.dtype) * raw_noise_std
+
+    alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma) * dists)
+    return alpha * exclusive_cumprod_1m(alpha)
+
+
 def volumetric_render(
     raw: jnp.ndarray,
     z_vals: jnp.ndarray,
@@ -47,18 +74,11 @@ def volumetric_render(
            semantics [R,sem_dim] when use_semantics).
     Parity: reference ``models/renderer.py:21-85`` (``VolumetricRenderer``).
     """
-    dists = z_vals[..., 1:] - z_vals[..., :-1]
-    dists = jnp.concatenate([dists, jnp.full_like(dists[..., :1], 1e10)], axis=-1)
-    dists = dists * jnp.linalg.norm(rays_d[..., None, :], axis=-1)
-
     rgb = jax.nn.sigmoid(raw[..., :3])
-
-    sigma = raw[..., 3]
-    if raw_noise_std > 0.0:
-        sigma = sigma + jax.random.normal(noise_key, sigma.shape, sigma.dtype) * raw_noise_std
-
-    alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma) * dists)
-    weights = alpha * exclusive_cumprod_1m(alpha)
+    weights = sigma_to_weights(
+        raw[..., 3], z_vals, rays_d,
+        raw_noise_std=raw_noise_std, noise_key=noise_key,
+    )
 
     rgb_map = jnp.sum(weights[..., None] * rgb, axis=-2)
     depth_map = jnp.sum(weights * z_vals, axis=-1, keepdims=True)

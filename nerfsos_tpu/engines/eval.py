@@ -63,7 +63,14 @@ def make_render_fn(net: NeRFNet, near: float, far: float, **net_kwargs):
     """One jitted full-image render (compiled once per image shape).
 
     ``net_kwargs`` threads model statics (e.g. mip-NeRF ``radii``).
+
+    Eval renders never read the coarse ('0'-suffixed) maps — the coarse pass
+    runs density-only (``NeRFNet.render_rays(coarse_outputs=False)``), which
+    skips the color/semantic heads the fused Pallas kernel would otherwise
+    compute into the void. Pass ``coarse_outputs=True`` to get the full dict.
     """
+    if isinstance(net, NeRFNet):
+        net_kwargs.setdefault("coarse_outputs", False)
 
     @jax.jit
     def render(params, rays):

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from nerfsos_tpu.core import sampling
-from nerfsos_tpu.core.render import volumetric_render
+from nerfsos_tpu.core.render import sigma_to_weights, volumetric_render
 from nerfsos_tpu.models.fields import NeRFField
 
 
@@ -132,6 +132,22 @@ class NeRFNet:
             return self.fine.apply({"params": params["fine"]}, pts, viewdirs)
         return self.coarse.apply({"params": params["coarse"]}, pts, viewdirs)
 
+    def _apply_sigma(self, params: Dict[str, Any], pts: jnp.ndarray,
+                     viewdirs: Optional[jnp.ndarray]) -> jnp.ndarray:
+        """Coarse densities only ([R, S]) — the eval render's coarse pass.
+
+        Uses the density-only Pallas kernel when the fused field is enabled
+        (XLA cannot DCE heads inside an opaque pallas_call); otherwise the
+        full XLA field, where slicing sigma lets XLA prune the color heads.
+        """
+        if self.cfg.fused_field and viewdirs is not None:
+            from nerfsos_tpu.ops.pallas.fused_field import fused_sigma_apply, supports_fused
+
+            if supports_fused(self.cfg):
+                return fused_sigma_apply(params["coarse"], pts, self.cfg,
+                                         depth=self.cfg.netdepth)[..., 0]
+        return self._apply(params, "coarse", pts, viewdirs)[..., 3]
+
     # ------------------------------------------------------------- render
 
     def render_rays(
@@ -150,8 +166,16 @@ class NeRFNet:
         n_importance: Optional[int] = None,
         retraw: bool = False,
         retpts: bool = False,
+        coarse_outputs: bool = True,
     ) -> Dict[str, jnp.ndarray]:
-        """Render one block of rays. Parity: reference ``render_rays`` (:71-130)."""
+        """Render one block of rays. Parity: reference ``render_rays`` (:71-130).
+
+        ``coarse_outputs=False`` (eval/video renders): the coarse pass runs
+        density-only — just enough to drive importance sampling — and the
+        ``'0'``-suffixed outputs are omitted. The fine outputs are bit-identical
+        to the full path (same weights feed the same inverse-CDF). Training
+        must keep the default: the losses consume ``rgb0``/``semantics0``.
+        """
         cfg = self.cfg
         n_samples = cfg.n_samples if n_samples is None else n_samples
         n_importance = cfg.n_importance if n_importance is None else n_importance
@@ -163,16 +187,24 @@ class NeRFNet:
             k_strat, near, far, n_samples, perturb=perturb, lindisp=cfg.lindisp
         )
         pts = sampling.points_along_rays(rays_o, rays_d, z_vals)
-        raw = self._apply(params, "coarse", pts, viewdirs)
-        ret = volumetric_render(
-            raw, z_vals, rays_d,
-            raw_noise_std=raw_noise_std, white_bkgd=cfg.white_bkgd,
-            use_semantics=cfg.use_semantics, noise_key=k_noise_c,
-        )
-        if retraw:
-            ret["raw"] = raw
-        if retpts:
-            ret["pts"] = pts
+        sigma_only = not coarse_outputs and n_importance > 0 and not retraw
+        if sigma_only:
+            sigma = self._apply_sigma(params, pts, viewdirs)
+            ret = {"weights": sigma_to_weights(
+                sigma, z_vals, rays_d,
+                raw_noise_std=raw_noise_std, noise_key=k_noise_c,
+            )}
+        else:
+            raw = self._apply(params, "coarse", pts, viewdirs)
+            ret = volumetric_render(
+                raw, z_vals, rays_d,
+                raw_noise_std=raw_noise_std, white_bkgd=cfg.white_bkgd,
+                use_semantics=cfg.use_semantics, noise_key=k_noise_c,
+            )
+            if retraw:
+                ret["raw"] = raw
+            if retpts:
+                ret["pts"] = pts
 
         if n_importance > 0:
             ret0 = ret
@@ -191,8 +223,9 @@ class NeRFNet:
             if retpts:
                 ret["pts"] = pts
             ret["z_std"] = jnp.std(z_samples, axis=-1)  # biased, like torch(unbiased=False)
-            for k, v in ret0.items():
-                ret[k + "0"] = v
+            if coarse_outputs:
+                for k, v in ret0.items():
+                    ret[k + "0"] = v
         return ret
 
     def __call__(

@@ -28,6 +28,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+# Block-size knobs (overridable for perf sweeps; None = built-in default).
+# Read at TRACE time — set before the first jit of a given shape.
+FWD_BLOCK: Optional[int] = None
+BWD_BLOCK: Optional[int] = None
+
+
 def _pe_phase(x: jnp.ndarray, M: jnp.ndarray, phase: jnp.ndarray) -> jnp.ndarray:
     """x @ M + phase via exact fp32 multiply-adds on the VPU.
 
@@ -106,6 +112,87 @@ def _field_kernel(
     out_ref[:] = jnp.concatenate(parts, axis=-1).astype(jnp.float32)
 
 
+def _sigma_kernel(pts_ref, m_pts_ref, ph_pts_ref, *refs,
+                  depth: int, skips: Tuple[int, ...], compute_dtype):
+    """Density-only field: PE -> trunk (+skip) -> alpha head. Used for the
+    coarse pass when only importance-sampling weights are needed (eval/video
+    renders) — skips the feature/views/rgb/semantic heads entirely, ~26% of
+    the coarse field's padded MXU work."""
+    n_w = depth + 1
+    w_refs = refs[:n_w]
+    b_refs = refs[n_w:2 * n_w]
+    out_ref = refs[2 * n_w]
+
+    pts = pts_ref[:].astype(jnp.float32)
+    emb = _pe_in_kernel(pts, m_pts_ref[:], ph_pts_ref[:]).astype(compute_dtype)
+    h = emb
+    for i in range(depth):
+        h = jnp.maximum(
+            _mm(h, w_refs[i][:].astype(compute_dtype), b_refs[i][:]), 0.0
+        ).astype(compute_dtype)
+        if i in skips:
+            h = jnp.concatenate([emb, h], axis=-1)
+    out_ref[:] = _mm(h, w_refs[depth][:].astype(compute_dtype),
+                     b_refs[depth][:]).astype(jnp.float32)
+
+
+def _sigma_forward(ws, bs, pts, depth, skips, multires, compute_dtype_name,
+                   block: int = 2048, interpret: Optional[bool] = None):
+    """Forward-only launch of the density kernel (no VJP: eval paths only)."""
+    N = pts.shape[0]
+    compute_dtype = jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
+    if FWD_BLOCK is not None:
+        block = FWD_BLOCK
+    blk = min(block, max(N, 8))
+    n_blocks = -(-N // blk)
+    pad = n_blocks * blk - N
+    if pad:
+        pts = jnp.concatenate([pts, jnp.zeros((pad, 3), pts.dtype)], 0)
+    ws = tuple(w.astype(compute_dtype) for w in ws)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    from nerfsos_tpu.core.encoding import _trig_matmul_consts
+
+    m_pts, ph_pts = _trig_matmul_consts(3, multires, float(multires - 1), True)
+    pe_args = tuple(jnp.asarray(a) for a in (m_pts, ph_pts))
+    full = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
+                                    memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_sigma_kernel, depth=depth, skips=skips,
+                          compute_dtype=compute_dtype),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((blk, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            *[full(a) for a in pe_args],
+            *[full(w) for w in ws],
+            *[full(b) for b in bs],
+        ],
+        out_specs=pl.BlockSpec((blk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_blocks * blk, 1), jnp.float32),
+        interpret=interpret,
+    )(pts, *pe_args, *ws, *bs)
+    return out[:N] if pad else out
+
+
+def fused_sigma_apply(params: Dict[str, Any], pts: jnp.ndarray, cfg,
+                      depth: Optional[int] = None) -> jnp.ndarray:
+    """Density-only twin of ``fused_field_apply``: [..., S, 3] -> [..., S, 1].
+
+    Matches raw[..., 3:4] of the full field bit-for-bit (same kernels, same
+    ordering). Eval-only — no custom VJP is attached.
+    """
+    mlp = params["mlp"]
+    depth = cfg.netdepth if depth is None else depth
+    names = [f"pts_linears_{i}" for i in range(depth)] + ["alpha_linear"]
+    ws = tuple(mlp[n]["kernel"] for n in names)
+    bs = tuple(mlp[n]["bias"] for n in names)
+    lead = pts.shape[:-1]
+    out = _sigma_forward(ws, bs, pts.reshape(-1, 3), depth, (4,),
+                         cfg.multires, cfg.compute_dtype)
+    return out.reshape(*lead, 1)
+
+
 def _flatten_mlp_params(mlp: Dict[str, Any], depth: int, use_semantics: bool):
     """Order: trunk 0..depth-1, alpha, feature, views_0, rgb [, sem_0, sem_1]."""
     names = [f"pts_linears_{i}" for i in range(depth)]
@@ -144,6 +231,8 @@ def _fused_forward(ws, bs, pts_dirs, depth, skips, multires, multires_views,
     out_ch = 4 + (ws[-1].shape[-1] if use_semantics else 0)
     compute_dtype = jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
 
+    if FWD_BLOCK is not None:
+        block = FWD_BLOCK
     blk = min(block, max(N, 8))
     n_blocks = -(-N // blk)
     pad = n_blocks * blk - N
@@ -388,8 +477,10 @@ def _fused_backward(ws, bs, pts_dirs, g, depth, skips, multires, multires_views,
     compute_dtype = jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
     if block is None:
         # VMEM budget: saved activations + weights + fp32 grad accumulators
-        # (~16 MB limit; fp32 activations double the footprint)
-        block = 512 if compute_dtype == jnp.bfloat16 else 256
+        # (~16 MB limit; fp32 activations double the footprint). 1024 measured
+        # 2.6% faster than 512 on-chip (fewer sequential grid steps), same
+        # numerics to 1e-7 (tools/perf_block_sweep.py).
+        block = BWD_BLOCK or (1024 if compute_dtype == jnp.bfloat16 else 256)
 
     blk = min(block, max(N, 8))
     n_blocks = -(-N // blk)

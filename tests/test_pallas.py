@@ -177,3 +177,47 @@ def test_xla_reference_twin_matches_field(small_cfg_net, key):
     twin = _xla_reference(ws, bs, (pts, dirs), cfg.netdepth, (4,), cfg.multires,
                           cfg.multires_views, True, True)
     np.testing.assert_allclose(np.array(twin), np.array(ref), atol=2e-5)
+
+
+def test_sigma_only_kernel_matches_full_field(small_cfg_net, key):
+    """fused_sigma_apply == raw[..., 3:4] of the full fused field."""
+    from nerfsos_tpu.ops.pallas.fused_field import fused_sigma_apply
+
+    cfg, net, params = small_cfg_net
+    pts = jax.random.normal(key, (37, 5, 3))
+    dirs = jax.random.normal(jax.random.PRNGKey(11), (37, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    full = fused_field_apply(params["coarse"], pts, dirs, cfg)
+    sigma = fused_sigma_apply(params["coarse"], pts, cfg)
+    assert sigma.shape == pts.shape[:-1] + (1,)
+    np.testing.assert_allclose(np.array(sigma), np.array(full[..., 3:4]), atol=1e-6)
+
+
+@pytest.mark.parametrize("fused", [True, False])
+def test_coarse_outputs_false_fine_maps_bit_equal(small_cfg_net, fused):
+    """Eval's density-only coarse pass must not change the fine outputs:
+    same weights feed the same inverse-CDF, so rgb/disp/acc/semantics/z_std
+    are bit-identical; only the '0'-suffixed coarse maps disappear."""
+    cfg0, _, params = small_cfg_net
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg0, fused_field=fused)
+    net = NeRFNet(cfg)
+    rays = jax.random.normal(jax.random.PRNGKey(5), (2, 64, 3))
+    full = net(params, rays, (1.0, 6.0), train=False)
+    lean = net(params, rays, (1.0, 6.0), train=False, coarse_outputs=False)
+    assert not any(k.endswith("0") for k in lean)
+    assert any(k.endswith("0") for k in full)
+    for k in ("rgb", "disp", "acc", "depth", "semantics", "z_std"):
+        np.testing.assert_array_equal(np.array(full[k]), np.array(lean[k]), err_msg=k)
+
+
+def test_make_render_fn_defaults_to_lean_coarse(small_cfg_net):
+    from nerfsos_tpu.engines.eval import make_render_fn
+
+    cfg, net, params = small_cfg_net
+    rays = jax.random.normal(jax.random.PRNGKey(7), (2, 8, 8, 3))
+    out = make_render_fn(net, 1.0, 6.0)(params, rays)
+    assert "rgb" in out and "rgb0" not in out
+    out_full = make_render_fn(net, 1.0, 6.0, coarse_outputs=True)(params, rays)
+    assert "rgb0" in out_full
