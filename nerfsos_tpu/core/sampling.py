@@ -117,9 +117,13 @@ def sample_pdf(
     # hot spot on TPU (~25x the cost of the whole compositing step, measured);
     # with B ~ 65 a one-hot contraction over the bin axis is pure VPU work.
     def pick(table, idx):
-        # table [..., Bt], idx [..., I] -> [..., I]
+        # table [..., Bt], idx [..., I] -> [..., I]. HIGHEST: the default TPU
+        # matmul would round the cdf/z tables to bf16 (~0.4% — a real shift
+        # in sample positions); the one-hot side is exact, so the multi-pass
+        # contraction reproduces the fp32 gather bit-for-bit.
         onehot = (idx[..., None] == jnp.arange(table.shape[-1])).astype(table.dtype)
-        return jnp.einsum("...ib,...b->...i", onehot, table)
+        return jnp.einsum("...ib,...b->...i", onehot, table,
+                          precision=jax.lax.Precision.HIGHEST)
 
     cdf_below = pick(cdf, below)
     cdf_above = pick(cdf, above)
@@ -149,7 +153,9 @@ def merge_sorted(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     out_idx = jnp.arange(S + I)
     oh_a = (pos_a[..., :, None] == out_idx).astype(a.dtype)
     oh_b = (pos_b[..., :, None] == out_idx).astype(b.dtype)
-    return jnp.einsum("...sp,...s->...p", oh_a, a) + jnp.einsum("...ip,...i->...p", oh_b, b)
+    hp = jax.lax.Precision.HIGHEST  # z-vals must not round through bf16
+    return (jnp.einsum("...sp,...s->...p", oh_a, a, precision=hp)
+            + jnp.einsum("...ip,...i->...p", oh_b, b, precision=hp))
 
 
 def importance_sample(

@@ -121,6 +121,12 @@ class CorrelationLoss:
             cd = jnp.clip(cd, self._clamp_min(), None)
         return -cd * (fd - shift)
 
+    def helper_mean(self, f1, f2, c1, c2, shift: float) -> jnp.ndarray:
+        """``helper(...).mean()`` — the scalar the loss actually consumes.
+        Subclasses may override with a fused evaluation that never
+        materializes the [B,H,W,I,J] correlation tensors."""
+        return self.helper(f1, f2, c1, c2, shift).mean()
+
     def negative_index(self, key: jax.Array, batch: int,
                        sim_matrix: Optional[jnp.ndarray]) -> jnp.ndarray:
         if self.rand_neg:
@@ -151,9 +157,9 @@ class CorrelationLoss:
         neg_feats = self.sample(orig_feats[neg_idx], coords2)
         neg_code = self.sample(orig_code[neg_idx], coords2)
 
-        neg_loss = self.helper(feats, neg_feats, code, neg_code, self.neg_shift)
-        self_loss = self.helper(feats, feats, code, code, self.self_shift)
-        return self.neg_weight * neg_loss.mean() + self.self_weight * self_loss.mean()
+        neg_loss = self.helper_mean(feats, neg_feats, code, neg_code, self.neg_shift)
+        self_loss = self.helper_mean(feats, feats, code, code, self.self_shift)
+        return self.neg_weight * neg_loss + self.self_weight * self_loss
 
 
 @dataclasses.dataclass(frozen=True)
@@ -167,6 +173,13 @@ class GeoCorrelationLoss(CorrelationLoss):
     self_shift: float = 3.0
     neg_shift: float = 10.0
     max_depth: float = 15.0
+    # Blockwise Pallas evaluation (ops/pallas/flash_corr.py): the whole-patch
+    # pairwise fd/cd tensors are [B,P,P,P,P] (537 MB each at the flagship
+    # 8x64x64) — the XLA path materializes them in HBM at ~32 ms/call on one
+    # v5e; the flash kernel streams tiles through VMEM. Falls back to the XLA
+    # path automatically for unsupported configs (non-pointwise, stabilize,
+    # clamp != 0, or P*P not tileable by 128).
+    use_flash: bool = True
 
     def feat_transform(self, t: jnp.ndarray) -> jnp.ndarray:
         """Identity: the geo kernel takes RAW XYZ points. Unit-normalizing 3-D
@@ -187,6 +200,16 @@ class GeoCorrelationLoss(CorrelationLoss):
     def depth2pts(depth: jnp.ndarray, ray_o: jnp.ndarray, ray_d: jnp.ndarray) -> jnp.ndarray:
         """XYZ = o + d * depth, all [B, 3, P, P] (depth [B, 1, P, P])."""
         return ray_o + ray_d * depth
+
+    def helper_mean(self, f1, f2, c1, c2, shift: float) -> jnp.ndarray:
+        from nerfsos_tpu.ops.pallas.flash_corr import flash_geo_helper_mean, flash_supported
+
+        H, W = f1.shape[-2], f1.shape[-1]
+        if (self.use_flash and self.pointwise and self.zero_clamp
+                and not self.stabilize and flash_supported(H * W)):
+            return flash_geo_helper_mean(f1, f2, _norm(c1), _norm(c2),
+                                         shift, self.max_depth)
+        return self.helper(f1, f2, c1, c2, shift).mean()
 
     def __call__(
         self,
@@ -209,9 +232,9 @@ class GeoCorrelationLoss(CorrelationLoss):
         neg_feats = feats[neg_idx]
         neg_code = code[neg_idx]
 
-        neg_loss = self.helper(feats, neg_feats, code, neg_code, self.neg_shift)
-        self_loss = self.helper(feats, feats, code, code, self.self_shift)
-        return self.neg_weight * neg_loss.mean() + self.self_weight * self_loss.mean()
+        neg_loss = self.helper_mean(feats, neg_feats, code, neg_code, self.neg_shift)
+        self_loss = self.helper_mean(feats, feats, code, code, self.self_shift)
+        return self.neg_weight * neg_loss + self.self_weight * self_loss
 
 
 def simclr_contrastive(emb_i: jnp.ndarray, emb_j: jnp.ndarray,

@@ -71,6 +71,10 @@ class NeRFConfig:
     # anything trainable sits upstream of the field inputs (e.g. a camera
     # transformer optimized through the render).
     field_input_grads: bool = False
+    # Override for the fused backward kernel's point-block (None = the kernel
+    # default, 1024 bf16). The SOS train program's extra operands push the
+    # backward's 16 MB VMEM stack 455 KB over at 1024 — SOS paths set 512.
+    field_bwd_block: Optional[int] = None
 
     @property
     def shared_fine(self) -> bool:

@@ -8,6 +8,7 @@ VALUE depends on these conventions. Implemented as clamped gathers + lerp
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -32,6 +33,26 @@ def grid_sample_bilinear(t: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
     y0 = jnp.floor(y).astype(jnp.int32)
     x1 = jnp.minimum(x0 + 1, W - 1)
     y1 = jnp.minimum(y0 + 1, H - 1)
+
+    if H * W <= 1024:
+        # TPU path: per-element dynamic gathers are the classic TPU pathology
+        # (measured throughout this repo — see core/sampling.py). For small
+        # sources (the DINO 14x14 feature maps here), build the bilinear
+        # interpolation matrix [N, Hg, Wg, H*W] and contract instead: one
+        # fused elementwise+einsum, no gathers.
+        fx = x - x0
+        fy = y - y0
+        q = jnp.arange(H * W)
+        wmat = ((y0 * W + x0)[..., None] == q) * ((1 - fx) * (1 - fy))[..., None] \
+             + ((y0 * W + x1)[..., None] == q) * (fx * (1 - fy))[..., None] \
+             + ((y1 * W + x0)[..., None] == q) * ((1 - fx) * fy)[..., None] \
+             + ((y1 * W + x1)[..., None] == q) * (fx * fy)[..., None]
+        # HIGHEST: the default TPU matmul would bf16-round both the weights
+        # and the features; the gather path this replaces is exact fp32.
+        return jnp.einsum("nhwq,ncq->nchw", wmat.astype(t.dtype),
+                          t.reshape(N, C, H * W),
+                          precision=jax.lax.Precision.HIGHEST)
+
     fx = (x - x0)[:, None]  # [N, 1, Hg, Wg] broadcast over C
     fy = (y - y0)[:, None]
 

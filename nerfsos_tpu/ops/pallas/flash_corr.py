@@ -1,0 +1,273 @@
+"""Flash-style blockwise Pallas kernel for the geometry correlation loss.
+
+The reference geo loss (``utils/image.py:373-482`` in VITA-Group/NeRF-SOS)
+correlates every pixel of a patch against every pixel: with the flagship
+8 x 64x64 patches, the ``fd``/``cd`` tensors are [8, 64,64, 64,64] — 537 MB
+EACH in fp32. The XLA lowering materializes them in HBM (measured 31.6 ms per
+loss call on one v5e, pure bandwidth; ``tools/perf_sos_breakdown.py``), which
+makes the loss ~12% of the whole SOS train step.
+
+This kernel never materializes the pairwise tensors: it streams (row-block x
+col-block) tiles through VMEM, flash-attention style, in two passes —
+
+  pass 1  row sums of  fd[n,p,q] = min(1/(sum_c |f1[n,p,c] - f2[n,c,q]| + .05),
+                                       max_depth)
+          (the pointwise-recentering statistics; [B, N] output)
+  pass 2  loss sum of  -max(cd, 0) * (fd - rowmean[p] + gmean - shift)
+          where cd is the SAME clamped inverse-L1 kernel applied to the
+          channel-normalized codes (``GeoCorrelationLoss.tensor_correlation``
+          is used for BOTH sides — reference ``utils/image.py:404-427``; cd is
+          therefore strictly positive and the zero-clamp is a no-op)
+
+and a backward pass that recomputes the tiles and accumulates the code-side
+cotangents (``fd`` is computed under stop-gradient in the reference — no
+gradient flows to the points/depth, so the backward touches only ``c``).
+
+Pointwise-recenter equivalence: the reference computes
+``fd - fd.mean((3,4),keepdims) - (fd - ...).mean() + fd.mean()``; the inner
+global mean of the row-centered tensor is exactly 0 in real arithmetic, so
+this reduces to ``fd - rowmean + gmean`` (float discrepancy ~1e-7, covered by
+the parity test).
+
+All arithmetic is fp32 on the VPU — no MXU, no bf16 rounding anywhere.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pick_block(n: int) -> Optional[int]:
+    for b in (512, 256, 128):
+        if n % b == 0:
+            return b
+    return None
+
+
+def flash_supported(n: int) -> bool:
+    """The kernel tiles N into 128/256/512-blocks; other N fall back to XLA."""
+    return _pick_block(n) is not None
+
+
+def _fd_tile(f1, f2, max_depth: float) -> jnp.ndarray:
+    """[bi, C] x [C, bj] -> clamped inverse-L1 tile [bi, bj] (fp32 VPU)."""
+    C = f1.shape[-1]
+    acc = jnp.zeros((f1.shape[0], f2.shape[1]), jnp.float32)
+    for c in range(C):
+        acc = acc + jnp.abs(f1[:, c:c + 1] - f2[c:c + 1, :])
+    return jnp.minimum(1.0 / (acc + 5e-2), max_depth)
+
+
+def _l1_tile(c1, c2) -> jnp.ndarray:
+    """[bi, S] x [S, bj] -> sum_s |c1[p,s] - c2[s,q]| (fp32 VPU)."""
+    S = c1.shape[-1]
+    acc = jnp.abs(c1[:, 0:1] - c2[0:1, :])
+    for s in range(1, S):
+        acc = acc + jnp.abs(c1[:, s:s + 1] - c2[s:s + 1, :])
+    return acc
+
+
+def _cd_tile(c1, c2, max_depth: float) -> jnp.ndarray:
+    """Code-side correlation tile: the same clamped inverse-L1 kernel as fd,
+    applied to the normalized codes (strictly positive)."""
+    return jnp.minimum(1.0 / (_l1_tile(c1, c2) + 5e-2), max_depth)
+
+
+def _rowsum_kernel(f1_ref, f2_ref, out_ref, *, max_depth: float):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    fd = _fd_tile(f1_ref[0], f2_ref[0], max_depth)
+    out_ref[0, :, :] += jnp.sum(fd, axis=1, keepdims=True)
+
+
+def _loss_kernel(f1_ref, f2_ref, c1_ref, c2_ref, rowmean_ref, gmean_ref,
+                 out_ref, *, shift: float, max_depth: float):
+    n, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+
+    @pl.when((n == 0) & (i == 0) & (j == 0))
+    def _():
+        out_ref[0, 0] = 0.0
+
+    fd = _fd_tile(f1_ref[0], f2_ref[0], max_depth)
+    fd2 = fd - rowmean_ref[0, :, 0:1] + (gmean_ref[0, 0] - shift)
+    cdc = _cd_tile(c1_ref[0], c2_ref[0], max_depth)  # > 0: zero-clamp no-op
+    out_ref[0, 0] += jnp.sum(-cdc * fd2)
+
+
+def _bwd_kernel(f1_ref, f2_ref, c1_ref, c2_ref, rowmean_ref, gmean_ref,
+                coeff_ref, dc1_ref, dc2_ref, *, shift: float, max_depth: float):
+    n, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    bj = f2_ref.shape[2]
+
+    # dc1 rides a per-(n, i) output block (j varies fastest -> consecutive
+    # accumulation); dc2 must be a full-array VMEM accumulator (its (n, j)
+    # blocks would be revisited non-consecutively). Layouts matter: [B, S, N]
+    # keeps N on lanes (1 MB padded); a full [B, N, S] accumulator would
+    # lane-pad S=2 -> 128 (16 MB — blows the VMEM stack inside the train step).
+    @pl.when(j == 0)
+    def _():
+        dc1_ref[:] = jnp.zeros_like(dc1_ref)
+
+    @pl.when((n == 0) & (i == 0) & (j == 0))
+    def _():
+        dc2_ref[:] = jnp.zeros_like(dc2_ref)
+
+    fd = _fd_tile(f1_ref[0], f2_ref[0], max_depth)
+    fd2 = fd - rowmean_ref[0, :, 0:1] + (gmean_ref[0, 0] - shift)
+    c1 = c1_ref[0]
+    c2 = c2_ref[0]
+    d = _l1_tile(c1, c2)
+    r = 1.0 / (d + 5e-2)
+    # loss term = -min(r, max_depth) * fd2 (cd > 0, zero-clamp passes through).
+    # d/dr of the min: 1 where r <= max_depth (torch's masked assignment
+    # ``ret[ret > maxd] = maxd`` zeroes grads only STRICTLY above the bound);
+    # dr/dd = -r^2; coeff carries upstream g / count.
+    dd = jnp.where(r <= max_depth, coeff_ref[0, 0] * fd2 * r * r, 0.0)
+
+    S = c1_ref.shape[2]
+    dc1_tile = jnp.concatenate(
+        [jnp.sum(dd * jnp.sign(c1[:, s:s + 1] - c2[s:s + 1, :]),
+                 axis=1, keepdims=True) for s in range(S)],
+        axis=1,
+    )  # [bi, S]
+    dc2_tile = jnp.concatenate(
+        [jnp.sum(dd * -jnp.sign(c1[:, s:s + 1] - c2[s:s + 1, :]),
+                 axis=0, keepdims=True) for s in range(S)],
+        axis=0,
+    )  # [S, bj]
+    dc1_ref[0, :, :] += dc1_tile
+    dc2_ref[n, :, pl.dslice(j * bj, bj)] += dc2_tile
+
+
+def _grids_and_specs(B, N, bi, bj, S):
+    grid = (B, N // bi, N // bj)
+    f1_spec = pl.BlockSpec((1, bi, 3), lambda n, i, j: (n, i, 0),
+                           memory_space=pltpu.VMEM)
+    f2_spec = pl.BlockSpec((1, 3, bj), lambda n, i, j: (n, 0, j),
+                           memory_space=pltpu.VMEM)
+    c1_spec = pl.BlockSpec((1, bi, S), lambda n, i, j: (n, i, 0),
+                           memory_space=pltpu.VMEM)
+    c2_spec = pl.BlockSpec((1, S, bj), lambda n, i, j: (n, 0, j),
+                           memory_space=pltpu.VMEM)
+    rm_spec = pl.BlockSpec((1, bi, 1), lambda n, i, j: (n, i, 0),
+                           memory_space=pltpu.VMEM)
+    scalar_spec = pl.BlockSpec((1, 1), lambda n, i, j: (0, 0),
+                               memory_space=pltpu.SMEM)
+    return grid, f1_spec, f2_spec, c1_spec, c2_spec, rm_spec, scalar_spec
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _row_stats(f1v, f2v, max_depth, interpret):
+    B, N, _ = f1v.shape
+    bi = bj = _pick_block(N)
+    grid, f1_spec, f2_spec, *_ = _grids_and_specs(B, N, bi, bj, 1)
+    rowsum = pl.pallas_call(
+        functools.partial(_rowsum_kernel, max_depth=max_depth),
+        grid=grid,
+        in_specs=[f1_spec, f2_spec],
+        out_specs=pl.BlockSpec((1, bi, 1), lambda n, i, j: (n, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, 1), jnp.float32),
+        interpret=interpret,
+    )(f1v, f2v)
+    rowmean = rowsum / N
+    gmean = jnp.mean(rowmean)
+    return rowmean, gmean
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _flash_geo_mean(f1v, f2v, c1v, c2v, shift, max_depth, interpret):
+    loss, _ = _flash_geo_fwd(f1v, f2v, c1v, c2v, shift, max_depth, interpret)
+    return loss
+
+
+def _flash_geo_fwd(f1v, f2v, c1v, c2v, shift, max_depth, interpret):
+    if interpret is None:
+        interpret = _interpret_default()
+    B, N, _ = f1v.shape
+    S = c1v.shape[-1]
+    bi = bj = _pick_block(N)
+    rowmean, gmean = _row_stats(f1v, f2v, max_depth, interpret)
+    grid, f1_spec, f2_spec, c1_spec, c2_spec, rm_spec, sc_spec = \
+        _grids_and_specs(B, N, bi, bj, S)
+    total = pl.pallas_call(
+        functools.partial(_loss_kernel, shift=shift, max_depth=max_depth),
+        grid=grid,
+        in_specs=[f1_spec, f2_spec, c1_spec, c2_spec, rm_spec, sc_spec],
+        out_specs=pl.BlockSpec((1, 1), lambda n, i, j: (0, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        interpret=interpret,
+    )(f1v, f2v, c1v, c2v, rowmean, gmean.reshape(1, 1))
+    count = B * N * N
+    return total[0, 0] / count, (f1v, f2v, c1v, c2v, rowmean, gmean)
+
+
+def _flash_geo_bwd(shift, max_depth, interpret, residuals, g):
+    if interpret is None:
+        interpret = _interpret_default()
+    f1v, f2v, c1v, c2v, rowmean, gmean = residuals
+    B, N, _ = f1v.shape
+    S = c1v.shape[-1]
+    bi = bj = _pick_block(N)
+    grid, f1_spec, f2_spec, c1_spec, c2_spec, rm_spec, sc_spec = \
+        _grids_and_specs(B, N, bi, bj, S)
+    coeff = (g / (B * N * N)).astype(jnp.float32).reshape(1, 1)
+    dc1, dc2 = pl.pallas_call(
+        functools.partial(_bwd_kernel, shift=shift, max_depth=max_depth),
+        grid=grid,
+        in_specs=[f1_spec, f2_spec, c1_spec, c2_spec, rm_spec, sc_spec, sc_spec],
+        out_specs=[
+            pl.BlockSpec((1, bi, S), lambda n, i, j: (n, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, S, N), lambda n, i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((B, N, S), jnp.float32),
+                   jax.ShapeDtypeStruct((B, S, N), jnp.float32)],
+        interpret=interpret,
+    )(f1v, f2v, c1v, c2v, rowmean, gmean.reshape(1, 1), coeff)
+    # fd is stop-gradient in the reference (no_grad): zero cotangents for f.
+    return jnp.zeros_like(f1v), jnp.zeros_like(f2v), dc1, dc2
+
+
+_flash_geo_mean.defvjp(_flash_geo_fwd, _flash_geo_bwd)
+
+
+def flash_geo_helper_mean(
+    f1: jnp.ndarray,   # [B, C, H, W] raw back-projected points (C=3)
+    f2: jnp.ndarray,
+    c1n: jnp.ndarray,  # [B, S, H, W] channel-NORMALIZED semantic codes
+    c2n: jnp.ndarray,
+    shift: float,
+    max_depth: float,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """mean over [B,H,W,I,J] of -max(cd,0) * (recenter(fd) - shift).
+
+    Drop-in scalar equivalent of
+    ``GeoCorrelationLoss.helper(f1,f2,c1,c2,shift).mean()`` with
+    ``pointwise=True, zero_clamp=True, stabilize=False`` (the flagship and
+    only shipped configuration) — differentiable w.r.t. the codes.
+    """
+    B, C, H, W = f1.shape
+    N = H * W
+    S = c1n.shape[1]
+    f1v = f1.reshape(B, C, N).transpose(0, 2, 1)
+    f2v = f2.reshape(B, C, N)
+    c1v = c1n.reshape(B, S, N).transpose(0, 2, 1)
+    c2v = c2n.reshape(B, S, N)
+    return _flash_geo_mean(f1v, f2v, c1v, c2v, float(shift), float(max_depth),
+                           interpret)

@@ -214,11 +214,11 @@ def supports_fused(cfg) -> bool:
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10)
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11)
 )
 def _fused_apply(ws, bs, pts_dirs, depth, skips, multires, multires_views,
                  use_semantics, sem_with_coord, compute_dtype_name,
-                 input_grads=True):
+                 input_grads=True, bwd_block=None):
     return _fused_forward(ws, bs, pts_dirs, depth, skips, multires, multires_views,
                           use_semantics, sem_with_coord, compute_dtype_name)
 
@@ -309,8 +309,8 @@ def _xla_reference(ws, bs, pts_dirs, depth, skips, multires, multires_views,
 
 
 def _fused_fwd(ws, bs, pts_dirs, *static):
-    # static = (..., compute_dtype_name, input_grads); the forward doesn't
-    # consume input_grads — it must not spill into _fused_forward's `block`.
+    # static = (..., compute_dtype_name, input_grads, bwd_block); the forward
+    # consumes neither — they must not spill into _fused_forward's `block`.
     return _fused_forward(ws, bs, pts_dirs, *static[:7]), (ws, bs, pts_dirs)
 
 
@@ -557,11 +557,13 @@ def _fused_backward(ws, bs, pts_dirs, g, depth, skips, multires, multires_views,
 
 
 def _fused_bwd(depth, skips, multires, multires_views, use_semantics,
-               sem_with_coord, compute_dtype_name, input_grads, residuals, g):
+               sem_with_coord, compute_dtype_name, input_grads, bwd_block,
+               residuals, g):
     ws, bs, pts_dirs = residuals
     return _fused_backward(ws, bs, pts_dirs, g, depth, skips, multires,
                            multires_views, use_semantics, sem_with_coord,
-                           compute_dtype_name, input_grads=input_grads)
+                           compute_dtype_name, block=bwd_block,
+                           input_grads=input_grads)
 
 
 def _xla_bwd(depth, skips, multires, multires_views, use_semantics,
@@ -602,5 +604,6 @@ def fused_field_apply(params: Dict[str, Any], pts: jnp.ndarray,
         depth, (4,), cfg.multires, cfg.multires_views,
         cfg.use_semantics, cfg.sem_with_coord, cfg.compute_dtype,
         getattr(cfg, "field_input_grads", True),
+        getattr(cfg, "field_bwd_block", None),
     )
     return out.reshape(*lead, out.shape[-1])

@@ -185,7 +185,11 @@ def build_model(args):
         if supports_fused(cfg):
             import dataclasses as _dc
 
-            cfg = _dc.replace(cfg, fused_field=True, remat=False)
+            # SOS programs carry extra operands that push the fused backward's
+            # VMEM stack over at the default block 1024; 512 fits everywhere.
+            bwd_block = 512 if args.patch_tune else None
+            cfg = _dc.replace(cfg, fused_field=True, remat=False,
+                              field_bwd_block=bwd_block)
     return NeRFNet(cfg), cfg
 
 

@@ -1,0 +1,97 @@
+"""Flash blockwise geo-correlation kernel: parity vs the XLA path.
+
+The XLA path itself is torch-oracle-verified (test_losses.py); these tests
+pin the Pallas interpret-mode evaluation to it, value and gradient.
+On-chip behavior is checked separately (tools/perf_flash_corr.py) per the
+round-1 rule: interpret-mode tests cannot catch on-chip bugs.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerfsos_tpu.losses.correlation import (
+    GeoCorrelationLoss,
+    get_similarity_matrix,
+    _norm,
+)
+from nerfsos_tpu.ops.pallas.flash_corr import (
+    flash_geo_helper_mean,
+    flash_supported,
+)
+
+
+@pytest.fixture(scope="module")
+def geo_inputs():
+    ks = jax.random.split(jax.random.PRNGKey(0), 8)
+    B, P, S = 4, 16, 2
+    sem = jax.random.normal(ks[0], (B, S, P, P))
+    depth = jax.random.uniform(ks[1], (B, 1, P, P)) * 5 + 1
+    ray_o = jax.random.normal(ks[2], (B, 3, P, P))
+    ray_d = jax.random.normal(ks[3], (B, 3, P, P))
+    sim = get_similarity_matrix(jax.random.normal(ks[4], (B, 64)))
+    return ks, sem, depth, ray_o, ray_d, sim
+
+
+def test_flash_supported_blocks():
+    assert flash_supported(64 * 64)
+    assert flash_supported(16 * 16)
+    assert flash_supported(128)
+    assert not flash_supported(100)
+    assert not flash_supported(17 * 17)
+
+
+def test_flash_helper_mean_matches_xla(geo_inputs):
+    ks, sem, depth, ray_o, ray_d, _ = geo_inputs
+    geo = GeoCorrelationLoss.from_params([0.5, 1, 3, 1], use_flash=False)
+    pts = geo.depth2pts(depth, ray_o, ray_d)
+    sem2 = jnp.roll(sem, 1, axis=0)
+    ref = geo.helper(pts, jnp.roll(pts, 1, axis=0), sem, sem2, 3.0).mean()
+    got = flash_geo_helper_mean(pts, jnp.roll(pts, 1, axis=0),
+                                _norm(sem), _norm(sem2), 3.0, geo.max_depth)
+    # closed-form pointwise recenter (fd - rowmean + gmean) drops the exactly-
+    # zero inner mean the XLA path subtracts in floats: ~1e-5 rel discrepancy.
+    np.testing.assert_allclose(float(got), float(ref), rtol=5e-5)
+
+
+@pytest.mark.parametrize("use_sim", [True, False])
+def test_flash_geo_call_value_and_grad_match_xla(geo_inputs, use_sim):
+    ks, sem, depth, ray_o, ray_d, sim = geo_inputs
+    sm = sim if use_sim else None
+    flash = GeoCorrelationLoss.from_params([0.5, 1, 3, 1], use_sim_matrix=use_sim)
+    xla = GeoCorrelationLoss.from_params([0.5, 1, 3, 1], use_sim_matrix=use_sim,
+                                         use_flash=False)
+
+    def loss(g, s):
+        return g(ks[5], depth, s, (ray_o, ray_d), sm)
+
+    v1, g1 = jax.value_and_grad(lambda s: loss(flash, s))(sem)
+    v2, g2 = jax.value_and_grad(lambda s: loss(xla, s))(sem)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=5e-5)
+    gr = float(jnp.linalg.norm(g1 - g2) / (jnp.linalg.norm(g2) + 1e-12))
+    assert gr < 1e-5, f"grad rel {gr}"
+
+
+def test_flash_no_gradient_to_depth(geo_inputs):
+    """fd is stop-gradient in the reference — depth must get zero cotangent
+    through the correlation term on both paths."""
+    ks, sem, depth, ray_o, ray_d, sim = geo_inputs
+    for flash in (True, False):
+        geo = GeoCorrelationLoss.from_params([0.5, 1, 3, 1], use_flash=flash)
+        g = jax.grad(lambda d: geo(ks[5], d, sem, (ray_o, ray_d), sim))(depth)
+        np.testing.assert_array_equal(np.array(g), 0.0)
+
+
+def test_flash_fallback_on_unsupported_shapes(geo_inputs):
+    """P*P not tileable -> silently uses the XLA path (same value)."""
+    ks, *_ = geo_inputs
+    B, P, S = 2, 10, 2  # N=100, not divisible by 128
+    sem = jax.random.normal(ks[0], (B, S, P, P))
+    depth = jax.random.uniform(ks[1], (B, 1, P, P)) + 1
+    ray_o = jax.random.normal(ks[2], (B, 3, P, P))
+    ray_d = jax.random.normal(ks[3], (B, 3, P, P))
+    flash = GeoCorrelationLoss.from_params([0.5, 1, 3, 1])
+    xla = GeoCorrelationLoss.from_params([0.5, 1, 3, 1], use_flash=False)
+    v1 = flash(ks[5], depth, sem, (ray_o, ray_d), None)
+    v2 = xla(ks[5], depth, sem, (ray_o, ray_d), None)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)

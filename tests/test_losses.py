@@ -5,6 +5,7 @@ torch (CPU) is used as the oracle for F.grid_sample and the loss algebra.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 import torch.nn.functional as F
 
@@ -26,8 +27,12 @@ def test_img2mse_mse2psnr():
     np.testing.assert_allclose(float(mse2psnr(jnp.array(0.01))), 20.0, atol=1e-5)
 
 
-def test_grid_sample_matches_torch(rng):
-    t = rng.normal(size=(3, 4, 9, 7)).astype(np.float32)
+@pytest.mark.parametrize("src_hw", [(9, 7), (40, 33)])
+def test_grid_sample_matches_torch(rng, src_hw):
+    # (9,7): small-source one-hot contraction path (no TPU gathers);
+    # (40,33): H*W > 1024 -> the gather+lerp path.
+    H, W = src_hw
+    t = rng.normal(size=(3, 4, H, W)).astype(np.float32)
     # grid includes out-of-range coords to exercise border padding
     grid = (rng.random((3, 5, 6, 2)).astype(np.float32) * 3.0 - 1.5)
     ours = np.array(grid_sample_bilinear(jnp.array(t), jnp.array(grid)))
