@@ -59,7 +59,7 @@ def _np_softmax(x: np.ndarray) -> np.ndarray:
 _segmap_cluster_jit = jax.jit(segmap_cluster, static_argnums=(1,))
 
 
-def make_render_fn(net: NeRFNet, near: float, far: float, **net_kwargs):
+def make_render_fn(net: NeRFNet, near: float, far: float, mesh=None, **net_kwargs):
     """One jitted full-image render (compiled once per image shape).
 
     ``net_kwargs`` threads model statics (e.g. mip-NeRF ``radii``).
@@ -68,13 +68,49 @@ def make_render_fn(net: NeRFNet, near: float, far: float, **net_kwargs):
     runs density-only (``NeRFNet.render_rays(coarse_outputs=False)``), which
     skips the color/semantic heads the fused Pallas kernel would otherwise
     compute into the void. Pass ``coarse_outputs=True`` to get the full dict.
+
+    ``mesh``: shard the image's rays over the mesh's ``data`` axis via
+    shard_map — rendering is embarrassingly data-parallel (no collectives),
+    and the per-shard program keeps the fused Pallas kernels shard-local.
+    Rays are padded to a multiple of the mesh size (edge-ray replication,
+    cropped after), so any image shape works.
     """
     if isinstance(net, NeRFNet):
         net_kwargs.setdefault("coarse_outputs", False)
 
-    @jax.jit
-    def render(params, rays):
+    if mesh is None:
+        @jax.jit
+        def render(params, rays):
+            return net(params, rays, (near, far), train=False, **net_kwargs)
+
+        return render
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_dev = mesh.size
+
+    def local_render(params, rays):
         return net(params, rays, (near, far), train=False, **net_kwargs)
+
+    sm = jax.shard_map(local_render, mesh=mesh,
+                       in_specs=(P(), P(None, "data")), out_specs=P("data"),
+                       check_vma=False)
+    rep = NamedSharding(mesh, P())
+    sm_jit = jax.jit(sm, in_shardings=(rep, NamedSharding(mesh, P(None, "data"))))
+
+    def render(params, rays):
+        rays = jnp.asarray(rays)
+        lead = rays.shape[1:-1]
+        flat = rays.reshape(2, -1, rays.shape[-1])
+        R = flat.shape[1]
+        pad = (-R) % n_dev
+        if pad:
+            flat = jnp.concatenate(
+                [flat, jnp.broadcast_to(flat[:, -1:], (2, pad, flat.shape[-1]))],
+                axis=1)
+        out = sm_jit(params, flat)
+        out = {k: v[:R].reshape(*lead, *v.shape[1:]) for k, v in out.items()}
+        return out
 
     return render
 

@@ -152,6 +152,157 @@ def sos_loss_fn(
     return loss, metrics
 
 
+def _rows(x: jnp.ndarray, offset: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Dynamic row-slice [offset : offset+n] along axis 0."""
+    return jax.lax.dynamic_slice_in_dim(x, offset, n, axis=0)
+
+
+def sos_loss_fn_sharded(
+    net: NeRFNet,
+    extractor: VitExtractor,
+    app_loss: CorrelationLoss,
+    geo_loss: GeoCorrelationLoss,
+    cfg: SOSConfig,
+    params: Any,
+    dino_params: Any,
+    batch: Dict[str, jnp.ndarray],
+    key: jax.Array,
+    near: float,
+    far: float,
+    axis: str = "data",
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Per-shard SOS loss for the shard_map DP path.
+
+    Same math as ``sos_loss_fn`` with the batch axis sharded: each shard
+    renders + DINO-encodes its local patches (all Pallas kernels shard-local),
+    then the cross-patch pieces ride explicit collectives —
+
+      - CLS similarity / negative mining: ``all_gather`` of the (tiny) local
+        CLS vectors -> global [B, B] sim matrix, global argmin;
+      - negative patches for the correlation losses: ``all_gather`` of the
+        code/feature/point tensors (a few MB), rows picked by the local slice
+        of the global negative index;
+      - the geometry depth filter's batch-max: ``pmax``;
+      - the contrast term is computed identically on every shard from the
+        gathered CLS (its all_gather cotangents psum back to the owners).
+
+    The sampled correlation coordinates are drawn at GLOBAL shape from the
+    shared key and row-sliced, so at deterministic render settings
+    (perturb=0, raw_noise_std=0) the loss matches the GSPMD path exactly;
+    with stochastic rendering the per-shard render key is folded with the
+    shard index (different but equally valid draws).
+    Mean semantics: every term is a per-shard mean whose ``pmean`` equals the
+    global mean (equal shard sizes).
+    """
+    n_shards = jax.lax.axis_size(axis)
+    shard = jax.lax.axis_index(axis)
+    B, Psz = cfg.batch_size, cfg.patch_size
+    Bl = B // n_shards
+    row0 = shard * Bl
+    k_render, k_app0, k_app1, k_geo0, k_geo1 = jax.random.split(key, 5)
+    k_render = jax.random.fold_in(k_render, shard)
+
+    out = net(params, batch["rays"], (near, far), key=k_render, train=True)
+
+    gt = batch["target"]  # local [Bl*P*P, 3]
+    img_loss = img2mse(out["rgb"], gt)
+    img_loss0 = img2mse(out["rgb0"], gt)
+    loss = cfg.rgb_w * (img_loss + img_loss0)
+    metrics = {
+        "img1": img_loss, "img0": img_loss0,
+        "psnr": mse2psnr(img_loss), "psnr0": mse2psnr(img_loss0),
+        "sem0": jnp.zeros(()), "sem1": jnp.zeros(()),
+    }
+    zero = jnp.zeros(())
+    metrics.update(corr0=zero, corr1=zero, geo_corr0=zero, geo_corr1=zero, contrast=zero)
+
+    if cfg.use_dino:
+        rgb_patches = out["rgb"].reshape(Bl, Psz, Psz, 3)
+        if not cfg.use_contrast:
+            rgb_patches = jax.lax.stop_gradient(rgb_patches)
+        dino_in = resize_nearest_torch(
+            rgb_patches, Psz * cfg.patch_stride, Psz * cfg.patch_stride,
+        )
+        dino_in = normalize_imagenet(dino_in)
+        dino = extractor.get_vit_attn_feat(dino_in, params=dino_params)
+        feat_tokens = dino["feat"]  # [Bl, N, C]
+        side = int(feat_tokens.shape[1] ** 0.5)
+        feat = feat_tokens.reshape(Bl, side, side, -1).transpose(0, 3, 1, 2)
+
+        cls_all = jax.lax.all_gather(dino["cls_"], axis, axis=0, tiled=True)
+        sim_matrix = get_similarity_matrix(cls_all)  # [B, B]
+
+        def app_sharded(k, feat_l, code_l, feat_g, code_g):
+            k_c1, k_c2, k_neg = jax.random.split(k, 3)
+            F = app_loss.feature_samples
+            c1 = jax.random.uniform(k_c1, (B, F, F, 2)) * 2.0 - 1.0
+            c2 = jax.random.uniform(k_c2, (B, F, F, 2)) * 2.0 - 1.0
+            coords1, coords2 = _rows(c1, row0, Bl), _rows(c2, row0, Bl)
+            feats = app_loss.sample(feat_l, coords1)
+            code = app_loss.sample(code_l, coords1)
+            neg_idx = _rows(app_loss.negative_index(k_neg, B, sim_matrix), row0, Bl)
+            neg_feats = app_loss.sample(feat_g[neg_idx], coords2)
+            neg_code = app_loss.sample(code_g[neg_idx], coords2)
+            return (app_loss.neg_weight * app_loss.helper_mean(
+                        feats, neg_feats, code, neg_code, app_loss.neg_shift,
+                        axis=axis)
+                    + app_loss.self_weight * app_loss.helper_mean(
+                        feats, feats, code, code, app_loss.self_shift,
+                        axis=axis))
+
+        def geo_sharded(k, pts_l, code_l, pts_g, code_g):
+            neg_idx = _rows(geo_loss.negative_index(k, B, sim_matrix), row0, Bl)
+            neg_pts, neg_code = pts_g[neg_idx], code_g[neg_idx]
+            return (geo_loss.neg_weight * geo_loss.helper_mean(
+                        pts_l, neg_pts, code_l, neg_code, geo_loss.neg_shift,
+                        axis=axis)
+                    + geo_loss.self_weight * geo_loss.helper_mean(
+                        pts_l, pts_l, code_l, code_l, geo_loss.self_shift,
+                        axis=axis))
+
+        if cfg.use_correlation or cfg.use_geoCorr:
+            sem0 = _to_patches(out["semantics0"], Bl, Psz)
+            sem = _to_patches(out["semantics"], Bl, Psz)
+            sem0_g = jax.lax.all_gather(sem0, axis, axis=0, tiled=True)
+            sem_g = jax.lax.all_gather(sem, axis, axis=0, tiled=True)
+
+        if cfg.use_correlation:
+            feat_g = jax.lax.all_gather(feat, axis, axis=0, tiled=True)
+            corr0 = cfg.correlation_w * app_sharded(k_app0, feat, sem0, feat_g, sem0_g)
+            corr1 = cfg.correlation_w * app_sharded(k_app1, feat, sem, feat_g, sem_g)
+            loss = loss + corr0 + corr1
+            metrics.update(corr0=corr0, corr1=corr1)
+
+        if cfg.use_geoCorr:
+            depth = _to_patches(out["depth"], Bl, Psz)
+            ray_o = _to_patches(batch["rays"][0], Bl, Psz)
+            ray_d = _to_patches(batch["rays"][1], Bl, Psz)
+            # depth filter with the BATCH-GLOBAL max-under (reference :455).
+            # The filtered points only feed fd, which is no-grad (depth gets
+            # exactly zero cotangent on every path — tested); stop_gradient
+            # makes that explicit AND keeps the pmax collective on a constant
+            # subgraph (pmax has no differentiation rule).
+            maxd = geo_loss.max_depth
+            depth_ng = jax.lax.stop_gradient(depth)
+            under = jnp.where(depth_ng < maxd, depth_ng, -jnp.inf)
+            max_under = jax.lax.pmax(jnp.max(under), axis)
+            depth_f = jnp.where(depth_ng > maxd, max_under, depth_ng)
+            pts = geo_loss.depth2pts(depth_f, ray_o, ray_d)
+            pts_g = jax.lax.all_gather(pts, axis, axis=0, tiled=True)
+            g0 = cfg.Gcorrelation_w * geo_sharded(k_geo0, pts, sem0, pts_g, sem0_g)
+            g1 = cfg.Gcorrelation_w * geo_sharded(k_geo1, pts, sem, pts_g, sem_g)
+            loss = loss + g0 + g1
+            metrics.update(geo_corr0=g0, geo_corr1=g1)
+
+        if cfg.use_contrast:
+            c = cfg.contrast_w * nerf_contrastive(cls_all)
+            loss = loss + c
+            metrics.update(contrast=c)
+
+    metrics["loss"] = loss
+    return loss, metrics
+
+
 def make_sos_train_step(
     net: NeRFNet,
     extractor: VitExtractor,
@@ -162,13 +313,62 @@ def make_sos_train_step(
     far: float,
     mesh: Optional[Mesh] = None,
     donate: bool = True,
+    spmd: str = "gspmd",
 ):
     """Build the jitted SOS train step.
 
     Batch contract (from ``data.datasets.PatchDataset.sample_batch``):
     ``rays [2, B*P*P, 3]``, ``target [B*P*P, 3]``. DINO params ride in the
     state-free argument ``dino_params`` (frozen; never updated).
+
+    ``spmd``: ``"gspmd"`` (jit shardings, XLA partitions — but Pallas custom
+    calls cannot be partitioned on real multi-chip) or ``"shard_map"``
+    (per-shard compute via ``sos_loss_fn_sharded`` with explicit collectives;
+    every Pallas kernel runs shard-local). See make_rgb_train_step.
     """
+
+    if mesh is not None and spmd == "shard_map":
+        if cfg.batch_size % mesh.size != 0:
+            raise ValueError(f"batch_size {cfg.batch_size} not divisible by "
+                             f"mesh size {mesh.size}")
+        batch_specs = {"rays": P(None, "data"), "target": P("data"),
+                       "masks": P("data")}
+
+        def local_grads(params, dino_params, batch, key):
+            (_, metrics), grads = jax.value_and_grad(
+                lambda p: sos_loss_fn_sharded(net, extractor, app_loss,
+                                              geo_loss, cfg, p, dino_params,
+                                              batch, key, near, far),
+                has_aux=True,
+            )(params)
+            # check_vma=False -> classic shard_map AD (see trainer.py):
+            # per-shard cotangents, explicit pmean = global-mean gradient.
+            grads = jax.lax.pmean(grads, "data")
+            metrics = jax.lax.pmean(metrics, "data")
+            metrics["psnr"] = mse2psnr(metrics["img1"])
+            metrics["psnr0"] = mse2psnr(metrics["img0"])
+            return grads, metrics
+
+        sm = jax.shard_map(local_grads, mesh=mesh,
+                           in_specs=(P(), P(), batch_specs, P()),
+                           out_specs=(P(), P()),
+                           # pallas_call outputs carry no vma metadata
+                           # on this jax version; skip the check
+                           check_vma=False)
+
+        def sm_step(state: TrainState, dino_params: Any, batch, key):
+            grads, metrics = sm(state.params, dino_params, batch, key)
+            return state.apply_gradients(grads), metrics
+
+        rep = NamedSharding(mesh, P())
+        kwargs: Dict[str, Any] = {"donate_argnums": (0,)} if donate else {}
+        kwargs["in_shardings"] = (
+            rep, rep,
+            {k: NamedSharding(mesh, v) for k, v in batch_specs.items()},
+            rep,
+        )
+        kwargs["out_shardings"] = (rep, rep)
+        return jax.jit(sm_step, **kwargs)
 
     def step(state: TrainState, dino_params: Any, batch: Dict[str, jnp.ndarray], key: jax.Array):
         (_, metrics), grads = jax.value_and_grad(
@@ -178,7 +378,7 @@ def make_sos_train_step(
         )(state.params)
         return state.apply_gradients(grads), metrics
 
-    kwargs: Dict[str, Any] = {}
+    kwargs = {}
     if donate:
         kwargs["donate_argnums"] = (0,)
     if mesh is not None:

@@ -52,13 +52,69 @@ def make_rgb_train_step(
     mesh: Optional[Mesh] = None,
     donate: bool = True,
     net_kwargs: Optional[Dict[str, Any]] = None,
+    spmd: str = "gspmd",
 ):
     """Build the jitted RGB train step.
 
     Batch contract: ``rays [2, B, 3]`` (origins, dirs), ``target [B, 3]``.
     With a mesh, rays/target are sharded along B and the state is replicated.
     ``net_kwargs`` threads model-specific statics (e.g. mip-NeRF ``radii``).
+
+    ``spmd``: how data parallelism is expressed when a mesh is given —
+      - ``"gspmd"``: jit shardings; XLA partitions the graph and inserts the
+        gradient psum. Bit-equal to single-device (partitioned RNG), but XLA
+        cannot partition the Pallas custom calls, so on real multi-chip the
+        fused kernels would run replicated.
+      - ``"shard_map"``: per-shard program with explicit collectives — every
+        Pallas kernel runs on its local shard; gradients/metrics are
+        ``pmean``-ed over the data axis (the scaling-book DP recipe). The
+        per-shard RNG key is folded with the shard index, so stochastic
+        renders differ from (but are as valid as) the single-device draw.
     """
+
+    if mesh is not None and spmd == "shard_map":
+        batch_specs = {"rays": P(None, "data"), "target": P("data"),
+                       "masks": P("data")}
+
+        def local_grads(params, batch, key):
+            key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+            (_, metrics), grads = jax.value_and_grad(
+                lambda p: rgb_loss_fn(net, p, batch, key, near, far, rgb_w,
+                                      net_kwargs),
+                has_aux=True,
+            )(params)
+            # check_vma=False -> classic shard_map AD: replicated-param
+            # cotangents come back UNREDUCED (per-shard); pmean of the
+            # local-mean-loss grads is the exact global-mean gradient.
+            # (With check_vma=True the transpose auto-psums instead.)
+            grads = jax.lax.pmean(grads, "data")
+            metrics = jax.lax.pmean(metrics, "data")
+            # psnr is nonlinear in mse: recompute from the exact global mean
+            metrics["psnr"] = mse2psnr(metrics["img1"])
+            if "img0" in metrics:
+                metrics["psnr0"] = mse2psnr(metrics["img0"])
+            return grads, metrics
+
+        sm = jax.shard_map(local_grads, mesh=mesh,
+                           in_specs=(P(), batch_specs, P()),
+                           out_specs=(P(), P()),
+                           # pallas_call outputs carry no vma metadata
+                           # on this jax version; skip the check
+                           check_vma=False)
+
+        def sm_step(state: TrainState, batch, key):
+            grads, metrics = sm(state.params, batch, key)
+            return state.apply_gradients(grads), metrics
+
+        rep = NamedSharding(mesh, P())
+        kwargs: Dict[str, Any] = {"donate_argnums": (0,)} if donate else {}
+        kwargs["in_shardings"] = (
+            rep,
+            {k: NamedSharding(mesh, v) for k, v in batch_specs.items()},
+            rep,
+        )
+        kwargs["out_shardings"] = (rep, rep)
+        return jax.jit(sm_step, **kwargs)
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray], key: jax.Array):
         (_, metrics), grads = jax.value_and_grad(
@@ -67,7 +123,7 @@ def make_rgb_train_step(
         )(state.params)
         return state.apply_gradients(grads), metrics
 
-    kwargs: Dict[str, Any] = {}
+    kwargs = {}
     if donate:
         kwargs["donate_argnums"] = (0,)
     if mesh is not None:

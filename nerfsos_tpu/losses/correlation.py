@@ -54,12 +54,20 @@ def _norm(t: jnp.ndarray) -> jnp.ndarray:
     return t / _safe_norm(t, 1, 1e-10)
 
 
-def _pointwise_recenter(fd: jnp.ndarray) -> jnp.ndarray:
+def _gmean(x: jnp.ndarray, axis: Optional[str]) -> jnp.ndarray:
+    """Batch-global mean: plain mean, pmean'd over a shard axis if given
+    (equal shard sizes make the mean-of-means exact)."""
+    m = x.mean()
+    return jax.lax.pmean(m, axis) if axis is not None else m
+
+
+def _pointwise_recenter(fd: jnp.ndarray, axis: Optional[str] = None) -> jnp.ndarray:
     """fd -= mean over last two dims; then recenter global mean to the old one
-    (reference ``:316-319``)."""
-    old_mean = fd.mean()
+    (reference ``:316-319``). ``axis``: shard axis for the BATCH-global means
+    when fd's batch dim is sharded (shard_map path)."""
+    old_mean = _gmean(fd, axis)
     fd = fd - fd.mean(axis=(3, 4), keepdims=True)
-    return fd - fd.mean() + old_mean
+    return fd - _gmean(fd, axis) + old_mean
 
 
 @dataclasses.dataclass(frozen=True)
@@ -108,10 +116,11 @@ class CorrelationLoss:
         """
         return _norm(t)
 
-    def helper(self, f1, f2, c1, c2, shift: float) -> jnp.ndarray:
+    def helper(self, f1, f2, c1, c2, shift: float,
+               axis: Optional[str] = None) -> jnp.ndarray:
         fd = self.tensor_correlation(self.feat_transform(f1), self.feat_transform(f2))
         if self.pointwise:
-            fd = _pointwise_recenter(fd)
+            fd = _pointwise_recenter(fd, axis)
         fd = jax.lax.stop_gradient(fd)  # reference computes fd under no_grad (:312)
 
         cd = self.tensor_correlation(_norm(c1), _norm(c2))
@@ -121,11 +130,14 @@ class CorrelationLoss:
             cd = jnp.clip(cd, self._clamp_min(), None)
         return -cd * (fd - shift)
 
-    def helper_mean(self, f1, f2, c1, c2, shift: float) -> jnp.ndarray:
+    def helper_mean(self, f1, f2, c1, c2, shift: float,
+                    axis: Optional[str] = None) -> jnp.ndarray:
         """``helper(...).mean()`` — the scalar the loss actually consumes.
         Subclasses may override with a fused evaluation that never
-        materializes the [B,H,W,I,J] correlation tensors."""
-        return self.helper(f1, f2, c1, c2, shift).mean()
+        materializes the [B,H,W,I,J] correlation tensors. ``axis``: shard
+        axis when the batch dim is sharded (pointwise-recenter statistics go
+        batch-global via pmean; the row mean stays per-row either way)."""
+        return self.helper(f1, f2, c1, c2, shift, axis=axis).mean()
 
     def negative_index(self, key: jax.Array, batch: int,
                        sim_matrix: Optional[jnp.ndarray]) -> jnp.ndarray:
@@ -201,15 +213,16 @@ class GeoCorrelationLoss(CorrelationLoss):
         """XYZ = o + d * depth, all [B, 3, P, P] (depth [B, 1, P, P])."""
         return ray_o + ray_d * depth
 
-    def helper_mean(self, f1, f2, c1, c2, shift: float) -> jnp.ndarray:
+    def helper_mean(self, f1, f2, c1, c2, shift: float,
+                    axis: Optional[str] = None) -> jnp.ndarray:
         from nerfsos_tpu.ops.pallas.flash_corr import flash_geo_helper_mean, flash_supported
 
         H, W = f1.shape[-2], f1.shape[-1]
         if (self.use_flash and self.pointwise and self.zero_clamp
                 and not self.stabilize and flash_supported(H * W)):
             return flash_geo_helper_mean(f1, f2, _norm(c1), _norm(c2),
-                                         shift, self.max_depth)
-        return self.helper(f1, f2, c1, c2, shift).mean()
+                                         shift, self.max_depth, axis=axis)
+        return self.helper(f1, f2, c1, c2, shift, axis=axis).mean()
 
     def __call__(
         self,

@@ -355,9 +355,20 @@ def main(args):
     near, far = test_set.near_far()
     radii = test_set.radii()
     mesh = pmesh.make_mesh() if len(jax.devices()) > 1 else None
+    # On a real multi-chip TPU mesh the fused Pallas kernels must run
+    # shard-local (GSPMD can't partition tpu custom calls) -> shard_map DP
+    # with explicit collectives. CPU meshes (tests/dryruns) keep GSPMD, which
+    # is bit-equal to single-device there.
+    spmd = "shard_map" if (mesh is not None and
+                           jax.default_backend() == "tpu") else "gspmd"
 
     def mip_kwargs():
-        return {"radii": radii} if args.mipnerf else {}
+        kw = {"radii": radii} if args.mipnerf else {}
+        # Multi-chip TPU: shard eval-render rays over the mesh (shard_map in
+        # make_render_fn — no collectives, Pallas kernels shard-local).
+        if mesh is not None and jax.default_backend() == "tpu" and not args.mipnerf:
+            kw["mesh"] = mesh
+        return kw
 
     def do_evaluate(save_dir):
         return eval_lib.evaluate(net, state.params, test_set, save_dir=save_dir,
@@ -424,11 +435,11 @@ def main(args):
         geo_loss = GeoCorrelationLoss.from_params(
             args.geo_corr_params, use_sim_matrix=args.use_sim_matrix, rand_neg=args.rand_neg)
         step_fn = make_sos_train_step(net, dino, app_loss, geo_loss, sos_cfg,
-                                      near, far, mesh=mesh)
+                                      near, far, mesh=mesh, spmd=spmd)
         dino_params = dino.params
     else:
         step_fn = make_rgb_train_step(net, near, far, rgb_w=args.rgb_w, mesh=mesh,
-                                      net_kwargs=mip_kwargs())
+                                      net_kwargs=mip_kwargs(), spmd=spmd)
 
     writer = SummaryWriter(log_dir)
     lr_schedule = exp_decay_schedule(args.lrate, args.decay_rate, args.decay_step * 1000)

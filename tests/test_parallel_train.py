@@ -156,3 +156,130 @@ def test_loss_decreases_over_steps():
         state, metrics = step(state, batch, sk)
         losses.append(float(metrics["loss"]))
     assert losses[-1] < losses[0] * 0.5, losses[::10]
+
+
+def test_shard_map_rgb_matches_single_device_det():
+    """shard_map DP (explicit collectives, shard-local Pallas) must match the
+    single-device step at deterministic render settings (perturb=0)."""
+    import dataclasses
+
+    cfg = NeRFConfig(netwidth=32, netdepth=2, netwidth_fine=32, netdepth_fine=2,
+                     n_samples=8, n_importance=8, multires=4, multires_views=2,
+                     perturb=0.0, ray_block=4096)
+    import optax
+
+    net = NeRFNet(cfg)
+    params = net.init(jax.random.PRNGKey(0))
+    # SGD: params diff == lr * grads diff (Adam's first step is ~sign(g) and
+    # amplifies fp32 mean-association noise into a flaky comparison)
+    tx = optax.sgd(1e-2)
+    B = 64
+    batch = {"rays": jax.random.normal(jax.random.PRNGKey(1), (2, B, 3)),
+             "target": jax.random.uniform(jax.random.PRNGKey(3), (B, 3)),
+             "masks": jnp.zeros((B, 1))}
+    key = jax.random.PRNGKey(2)
+
+    s1 = TrainState.create(params, tx)
+    out1, m1 = make_rgb_train_step(net, 1.0, 4.0, donate=False)(s1, batch, key)
+
+    m = pmesh.make_mesh(8)
+    s8 = jax.device_put(TrainState.create(params, tx), pmesh.replicated(m))
+    step8 = make_rgb_train_step(net, 1.0, 4.0, mesh=m, donate=False,
+                                spmd="shard_map")
+    sb = {
+        "rays": jax.device_put(batch["rays"], pmesh.data_sharding(m, 1, 3)),
+        "target": jax.device_put(batch["target"], pmesh.data_sharding(m, 0, 2)),
+        "masks": jax.device_put(batch["masks"], pmesh.data_sharding(m, 0, 2)),
+    }
+    out8, m8 = step8(s8, sb, key)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m1["psnr"]), float(m8["psnr"]), rtol=1e-4)
+    for (p1, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(out1.params)[0],
+        jax.tree_util.tree_flatten_with_path(out8.params)[0],
+    ):
+        np.testing.assert_allclose(np.array(a), np.array(b), atol=1e-5,
+                                   err_msg=jax.tree_util.keystr(p1))
+
+
+def test_shard_map_sos_matches_gspmd_det():
+    """Sharded SOS loss (all_gather negative mining, pmax depth filter,
+    shard-local flash kernels) == the GSPMD step at deterministic settings."""
+    from nerfsos_tpu.engines.sos import SOSConfig, make_sos_train_step
+    from nerfsos_tpu.losses.correlation import CorrelationLoss, GeoCorrelationLoss
+    from nerfsos_tpu.models import vit as vit_lib
+    from nerfsos_tpu.models.extractor import VitExtractor
+
+    B, P = 8, 16  # N=256 -> the flash geo path is ACTIVE (interpret mode)
+    cfg = NeRFConfig(netwidth=32, netdepth=2, netwidth_fine=32, netdepth_fine=2,
+                     n_samples=8, n_importance=8, multires=4, multires_views=2,
+                     use_semantics=True, sem_with_coord=True, perturb=0.0,
+                     ray_block=B * P * P)
+    net = NeRFNet(cfg)
+    params = net.init(jax.random.PRNGKey(0))
+    ext = VitExtractor("dino_vits16")
+    ext.vit = vit_lib.VisionTransformer(patch_size=16, embed_dim=32, depth=2,
+                                        num_heads=2, mlp_ratio=2.0)
+    dino_params = ext.init(jax.random.PRNGKey(1))
+    sos_cfg = SOSConfig(batch_size=B, patch_size=P, patch_stride=2)
+    app = CorrelationLoss.from_params([0.18, 1, 0.46, 1], use_sim_matrix=True)
+    import optax
+
+    geo = GeoCorrelationLoss.from_params([0.5, 1, 3, 1], use_sim_matrix=True)
+    tx = optax.sgd(1e-2)  # see the rgb test: clean gradient-parity signal
+    N = B * P * P
+    batch = {"rays": jax.random.normal(jax.random.PRNGKey(2), (2, N, 3)),
+             "target": jax.random.uniform(jax.random.PRNGKey(4), (N, 3)),
+             "masks": jnp.zeros((N, 1))}
+    key = jax.random.PRNGKey(3)
+
+    m = pmesh.make_mesh(8)
+    sb = {
+        "rays": jax.device_put(batch["rays"], pmesh.data_sharding(m, 1, 3)),
+        "target": jax.device_put(batch["target"], pmesh.data_sharding(m, 0, 2)),
+        "masks": jax.device_put(batch["masks"], pmesh.data_sharding(m, 0, 2)),
+    }
+    outs = {}
+    for spmd in ("gspmd", "shard_map"):
+        s = jax.device_put(TrainState.create(params, tx), pmesh.replicated(m))
+        step = make_sos_train_step(net, ext, app, geo, sos_cfg, 1.0, 4.0,
+                                   mesh=m, donate=False, spmd=spmd)
+        outs[spmd] = step(s, dino_params, sb, key)
+
+    (sa, ma), (sb_, mb) = outs["gspmd"], outs["shard_map"]
+    np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]), rtol=1e-5)
+    for k in ("img1", "corr0", "corr1", "geo_corr0", "geo_corr1"):
+        np.testing.assert_allclose(float(ma[k]), float(mb[k]), rtol=1e-4,
+                                   atol=1e-7, err_msg=k)
+    for (p1, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(sa.params)[0],
+        jax.tree_util.tree_flatten_with_path(sb_.params)[0],
+    ):
+        np.testing.assert_allclose(np.array(a), np.array(b), atol=1e-5,
+                                   err_msg=jax.tree_util.keystr(p1))
+
+
+def test_shard_map_eval_render_matches_unsharded():
+    """make_render_fn(mesh=...) shards rays over devices; outputs must be
+    bit-equal to the unsharded render (pure data parallel, padded edge rays
+    cropped)."""
+    from nerfsos_tpu.engines.eval import make_render_fn
+
+    cfg = NeRFConfig(netwidth=32, netdepth=2, netwidth_fine=32, netdepth_fine=2,
+                     n_samples=8, n_importance=8, multires=4, multires_views=2,
+                     use_semantics=True, ray_block=4096)
+    net = NeRFNet(cfg)
+    params = net.init(jax.random.PRNGKey(0))
+    H, W = 9, 13  # H*W = 117, NOT divisible by 8 -> exercises the padding
+    rays = jax.random.normal(jax.random.PRNGKey(1), (2, H, W, 3))
+
+    ref = make_render_fn(net, 1.0, 4.0)(params, rays)
+    m = pmesh.make_mesh(8)
+    got = make_render_fn(net, 1.0, 4.0, mesh=m)(params, rays)
+    assert set(ref.keys()) == set(got.keys())
+    for k in ref:
+        # one-ulp differences allowed: XLA fuses the per-ray math differently
+        # for the different block shapes
+        np.testing.assert_allclose(np.asarray(ref[k]), np.asarray(got[k]),
+                                   rtol=2e-6, atol=1e-7, err_msg=k)
