@@ -126,6 +126,20 @@ def create_arg_parser() -> ConfigArgumentParser:
     parser.add_argument("--dino_ckpt", type=str, default="",
                         help="local path to DINO ViT-S/16 torch weights "
                              "(torch.hub is unavailable offline)")
+    parser.add_argument("--lpips_path", type=str, default="",
+                        help="local path to the lpips package's linear-head "
+                             "weights (e.g. lpips/weights/v0.1/alex.pth); "
+                             "without it eval reports lpips as null")
+    parser.add_argument("--lpips_backbone_path", type=str, default="",
+                        help="local path to the torchvision backbone state "
+                             "dict matching --lpips_net")
+    parser.add_argument("--lpips_net", type=str, default="alex",
+                        choices=["alex", "vgg"])
+    parser.add_argument("--debug_nans", action="store_true", default=False,
+                        help="enable jax_debug_nans (the reference keeps torch "
+                             "anomaly detection ALWAYS on — reference "
+                             "run_nerf.py:540; here it is opt-in because the "
+                             "deoptimized graphs are a large slowdown)")
     parser.add_argument("--use_contrast", action="store_true", default=False)
     parser.add_argument("--fast_mode", action="store_true", default=False)
     parser.add_argument("--contrast_w", type=float, default=0)
@@ -210,6 +224,33 @@ def build_dino(args):
     return dino
 
 
+def build_lpips(args):
+    """LPIPS metric from local weight files, or None (eval reports null).
+
+    The reference instantiates both ``lpips`` nets at import time
+    (``utils/image.py:33-34``); here the metric is built only when local
+    weights are provided (weights are not downloadable offline).
+    """
+    if not (args.lpips_path and os.path.exists(args.lpips_path)):
+        return None
+    import torch
+
+    from nerfsos_tpu.ops.lpips import LPIPSMetric, load_torch_lpips
+
+    lin = torch.load(args.lpips_path, map_location="cpu")
+    if not (args.lpips_backbone_path and os.path.exists(args.lpips_backbone_path)):
+        print("[Warning!] --lpips_path given without --lpips_backbone_path; "
+              "lpips disabled (needs the torchvision trunk weights).")
+        return None
+    trunk = torch.load(args.lpips_backbone_path, map_location="cpu")
+    lin = {k: v.numpy() for k, v in lin.items()}
+    trunk = {k: v.numpy() for k, v in trunk.items()}
+    metric = LPIPSMetric(net=args.lpips_net,
+                         params=load_torch_lpips(lin, trunk, net=args.lpips_net))
+    print(f"> Loaded LPIPS ({args.lpips_net}) weights from {args.lpips_path}")
+    return metric
+
+
 class SummaryWriter:
     """TensorBoard writer (torch.utils.tensorboard) with JSONL fallback."""
 
@@ -255,6 +296,11 @@ def main(args):
     from nerfsos_tpu.parallel import mesh as pmesh
     from nerfsos_tpu.utils.vis import to8b
 
+    if args.debug_nans:
+        from nerfsos_tpu.utils.debug import enable_nan_debugging
+
+        enable_nan_debugging(True)
+        print("> jax_debug_nans enabled")
     if args.no_semantics:
         args.use_semantics = False
     print(f"> Semantic branch is {args.use_semantics}")
@@ -370,11 +416,14 @@ def main(args):
             kw["mesh"] = mesh
         return kw
 
+    lpips_metric = build_lpips(args)
+
     def do_evaluate(save_dir):
         return eval_lib.evaluate(net, state.params, test_set, save_dir=save_dir,
                                  fast_mode=args.fast_mode, ret_cluster=args.ret_cluster,
                                  clus_no_sfm=args.clus_no_sfm, n_cluster=args.N_cluster,
-                                 find_fg=dino is not None, dino=dino, **mip_kwargs())
+                                 find_fg=dino is not None, dino=dino,
+                                 lpips_metric=lpips_metric, **mip_kwargs())
 
     # ---------------------------------------------------------------- modes
     if args.eval:

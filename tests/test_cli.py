@@ -212,3 +212,39 @@ def test_cli_sos_mode_end_to_end(scene):
     assert os.path.exists(os.path.join(run_dir, "eval", "log.json"))
     log = json.load(open(os.path.join(run_dir, "eval", "log.json")))
     assert "total_clus_ari" in log
+
+
+def test_cli_build_lpips(scene, tmp_path):
+    """--lpips_path/--lpips_backbone_path wire local torch weights into eval;
+    without them build_lpips returns None (eval reports lpips as null)."""
+    import torch
+
+    data, basedir = scene
+    args = _args(data, basedir)
+    assert run_nerf.build_lpips(args) is None
+
+    # synthesized torchvision-AlexNet + lpips v0.1 linear-head state dicts
+    g = torch.Generator().manual_seed(0)
+    shapes = [(64, 3, 11, 11), (192, 64, 5, 5), (384, 192, 3, 3),
+              (256, 384, 3, 3), (256, 256, 3, 3)]
+    idx = [0, 3, 6, 8, 10]
+    trunk = {}
+    for ti, s in zip(idx, shapes):
+        trunk[f"features.{ti}.weight"] = torch.randn(*s, generator=g) * 0.05
+        trunk[f"features.{ti}.bias"] = torch.zeros(s[0])
+    lin = {f"lin{i}.model.1.weight": torch.rand(1, c, 1, 1, generator=g)
+           for i, c in enumerate([64, 192, 384, 256, 256])}
+    lp, bp = tmp_path / "alex_lin.pth", tmp_path / "alexnet.pth"
+    torch.save(lin, lp)
+    torch.save(trunk, bp)
+
+    args = _args(data, basedir, "--lpips_path", str(lp),
+                 "--lpips_backbone_path", str(bp))
+    metric = run_nerf.build_lpips(args)
+    assert metric is not None
+    import jax.numpy as jnp
+
+    a = jnp.zeros((64, 64, 3))
+    b = jnp.ones((64, 64, 3))
+    assert float(metric(a, b)[0]) > 0
+    assert abs(float(metric(a, a)[0])) < 1e-6
