@@ -62,11 +62,14 @@ def volumetric_render(
     white_bkgd: bool = False,
     use_semantics: bool = False,
     noise_key: Optional[jax.Array] = None,
+    channels_first: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Composite per-sample raw network outputs into per-ray maps.
 
     Args:
-      raw:    [R, S, C] with channels [rgb(3), sigma(1), semantics(sem_dim)].
+      raw:    [R, S, C] with channels [rgb(3), sigma(1), semantics(sem_dim)] —
+              or [C, R, S] with ``channels_first=True`` (the planar fused
+              field's native layout; identical math, same RNG draw shape).
       z_vals: [R, S] sample depths along each ray.
       rays_d: [R, 3] UNNORMALIZED ray directions.
     Returns:
@@ -74,13 +77,18 @@ def volumetric_render(
            semantics [R,sem_dim] when use_semantics).
     Parity: reference ``models/renderer.py:21-85`` (``VolumetricRenderer``).
     """
-    rgb = jax.nn.sigmoid(raw[..., :3])
+    sigma = raw[3] if channels_first else raw[..., 3]
     weights = sigma_to_weights(
-        raw[..., 3], z_vals, rays_d,
+        sigma, z_vals, rays_d,
         raw_noise_std=raw_noise_std, noise_key=noise_key,
     )
 
-    rgb_map = jnp.sum(weights[..., None] * rgb, axis=-2)
+    if channels_first:
+        rgb = jax.nn.sigmoid(raw[0:3])  # [3, R, S]
+        rgb_map = jnp.sum(weights[None] * rgb, axis=-1).T
+    else:
+        rgb = jax.nn.sigmoid(raw[..., :3])
+        rgb_map = jnp.sum(weights[..., None] * rgb, axis=-2)
     depth_map = jnp.sum(weights * z_vals, axis=-1, keepdims=True)
     acc_map = jnp.sum(weights, axis=-1, keepdims=True)
     depth_map = jnp.where(acc_map <= 1e-10, 1e10, depth_map)
@@ -88,7 +96,10 @@ def volumetric_render(
 
     out = dict(rgb=rgb_map, disp=disp_map, acc=acc_map, weights=weights, depth=depth_map)
     if use_semantics:
-        sem_map = jnp.sum(weights[..., None] * raw[..., 4:], axis=-2)
+        if channels_first:
+            sem_map = jnp.sum(weights[None] * raw[4:], axis=-1).T
+        else:
+            sem_map = jnp.sum(weights[..., None] * raw[..., 4:], axis=-2)
         if white_bkgd:
             sem_map = sem_map + (1.0 - acc_map)
         out["semantics"] = sem_map

@@ -191,6 +191,27 @@ def points_along_rays(rays_o: jnp.ndarray, rays_d: jnp.ndarray, z_vals: jnp.ndar
     return rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
 
 
+def points_along_rays_planar(
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    z_vals: jnp.ndarray,
+    viewdirs: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Planar (channel-major) points: [3, R*S] — or [6, R*S] with viewdirs
+    rows appended (dx,dy,dz broadcast over samples).
+
+    TPU layout rationale: a [R*S, 3] f32 array feeding a Pallas operand tiles
+    to T(8,128) with the 3-lane minor dim padded to 128 — a measured 42.7x
+    HBM expansion (6 GB for a 65536x192 render; XLA OOM dump 2026-08-16).
+    Channel-major keeps points on lanes: zero padding.
+    """
+    pts = rays_o.T[:, :, None] + rays_d.T[:, :, None] * z_vals[None]  # [3, R, S]
+    if viewdirs is None:
+        return pts.reshape(3, -1)
+    dirs = jnp.broadcast_to(viewdirs.T[:, :, None], pts.shape)
+    return jnp.concatenate([pts, dirs], axis=0).reshape(6, -1)
+
+
 def layered_sample(
     key: jax.Array | None,
     rays_o: jnp.ndarray,

@@ -136,6 +136,34 @@ class NeRFNet:
             return self.fine.apply({"params": params["fine"]}, pts, viewdirs)
         return self.coarse.apply({"params": params["coarse"]}, pts, viewdirs)
 
+    def _planar_ok(self, viewdirs, retraw: bool, retpts: bool) -> bool:
+        """The planar (channel-major IO) fused path: same math, unpadded HBM
+        streams (see ops/pallas/fused_field.py planar section — the row-major
+        [N,3]/[N,C] Pallas operands tile with a measured 42.7x pad).
+        Requires field_input_grads=False (zero input cotangents) and no
+        raw/pts retention (those consumers expect [..., S, C])."""
+        cfg = self.cfg
+        if not (cfg.fused_field and cfg.use_viewdirs and viewdirs is not None):
+            return False
+        if cfg.field_input_grads or retraw or retpts:
+            return False
+        from nerfsos_tpu.ops.pallas.fused_field import supports_fused
+
+        return supports_fused(cfg)
+
+    def _apply_planar(self, params: Dict[str, Any], which: str,
+                      rays_o: jnp.ndarray, rays_d: jnp.ndarray,
+                      z_vals: jnp.ndarray, viewdirs: jnp.ndarray) -> jnp.ndarray:
+        """Planar fused field on ray geometry: returns raw [C, R, S]."""
+        from nerfsos_tpu.ops.pallas.fused_field import fused_field_apply_planar
+
+        fine = which == "fine" and self.fine is not None
+        depth = self.cfg.netdepth_fine if fine else self.cfg.netdepth
+        pd = sampling.points_along_rays_planar(rays_o, rays_d, z_vals, viewdirs)
+        raw = fused_field_apply_planar(params["fine" if fine else "coarse"],
+                                       pd, self.cfg, depth=depth)
+        return raw.reshape(raw.shape[0], *z_vals.shape)
+
     def _apply_sigma(self, params: Dict[str, Any], pts: jnp.ndarray,
                      viewdirs: Optional[jnp.ndarray]) -> jnp.ndarray:
         """Coarse densities only ([R, S]) — the eval render's coarse pass.
@@ -190,20 +218,34 @@ class NeRFNet:
         z_vals = sampling.stratified_sample(
             k_strat, near, far, n_samples, perturb=perturb, lindisp=cfg.lindisp
         )
-        pts = sampling.points_along_rays(rays_o, rays_d, z_vals)
+        planar = self._planar_ok(viewdirs, retraw, retpts)
         sigma_only = not coarse_outputs and n_importance > 0 and not retraw
         if sigma_only:
-            sigma = self._apply_sigma(params, pts, viewdirs)
+            if planar:
+                from nerfsos_tpu.ops.pallas.fused_field import fused_sigma_apply_planar
+
+                p3 = sampling.points_along_rays_planar(rays_o, rays_d, z_vals)
+                sigma = fused_sigma_apply_planar(
+                    params["coarse"], p3, cfg).reshape(z_vals.shape)
+            else:
+                pts = sampling.points_along_rays(rays_o, rays_d, z_vals)
+                sigma = self._apply_sigma(params, pts, viewdirs)
             ret = {"weights": sigma_to_weights(
                 sigma, z_vals, rays_d,
                 raw_noise_std=raw_noise_std, noise_key=k_noise_c,
             )}
         else:
-            raw = self._apply(params, "coarse", pts, viewdirs)
+            if planar:
+                raw = self._apply_planar(params, "coarse", rays_o, rays_d,
+                                         z_vals, viewdirs)
+            else:
+                pts = sampling.points_along_rays(rays_o, rays_d, z_vals)
+                raw = self._apply(params, "coarse", pts, viewdirs)
             ret = volumetric_render(
                 raw, z_vals, rays_d,
                 raw_noise_std=raw_noise_std, white_bkgd=cfg.white_bkgd,
                 use_semantics=cfg.use_semantics, noise_key=k_noise_c,
+                channels_first=planar,
             )
             if retraw:
                 ret["raw"] = raw
@@ -215,12 +257,17 @@ class NeRFNet:
             z_all, z_samples = sampling.importance_sample(
                 k_imp, z_vals, ret0["weights"], n_importance, det=(perturb == 0.0)
             )
-            pts = sampling.points_along_rays(rays_o, rays_d, z_all)
-            raw = self._apply(params, "fine", pts, viewdirs)
+            if planar:
+                raw = self._apply_planar(params, "fine", rays_o, rays_d,
+                                         z_all, viewdirs)
+            else:
+                pts = sampling.points_along_rays(rays_o, rays_d, z_all)
+                raw = self._apply(params, "fine", pts, viewdirs)
             ret = volumetric_render(
                 raw, z_all, rays_d,
                 raw_noise_std=raw_noise_std, white_bkgd=cfg.white_bkgd,
                 use_semantics=cfg.use_semantics, noise_key=k_noise_f,
+                channels_first=planar,
             )
             if retraw:
                 ret["raw"] = raw

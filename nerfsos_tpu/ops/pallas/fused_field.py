@@ -581,6 +581,420 @@ def _xla_bwd(depth, skips, multires, multires_views, use_semantics,
 _fused_apply.defvjp(_fused_fwd, _fused_bwd)
 
 
+# --------------------------------------------------------------------------
+# PLANAR (channel-major) kernels: activations live as [features, points] and
+# all IO is [C, N] with points on the LANE dim. Rationale (measured): the
+# row-major path's [N, 3] / [N, C_out] operands tile to T(8,128) with the
+# tiny minor dim padded to 128 lanes — a 42.7x HBM expansion (the pts/dirs
+# buffers alone are 2 x 1.5 GB per 16384x192 render; a 65536-ray render OOMs
+# at 18 GB). Planar IO makes every stream its unpadded size. The MLP math is
+# identical, just transposed: h_out = W^T h_in (fp32-accumulated MXU dots),
+# PE phases stay exact fp32 elementwise.
+# --------------------------------------------------------------------------
+
+
+def _pe_phase_pl(x3: jnp.ndarray, m_t: jnp.ndarray, ph1: jnp.ndarray) -> jnp.ndarray:
+    """Planar twin of `_pe_phase`: x3 [3, blk] -> [F, blk], exact fp32.
+
+    m_t is the [F, 3] TRANSPOSED frequency matrix, ph1 the [F, 1] phase
+    column (host-side transposes of `_trig_matmul_consts`)."""
+    return (ph1 + m_t[:, 0:1] * x3[0:1, :] + m_t[:, 1:2] * x3[1:2, :]
+            + m_t[:, 2:3] * x3[2:3, :])
+
+
+def _pe_in_kernel_pl(x3: jnp.ndarray, m_t: jnp.ndarray, ph1: jnp.ndarray) -> jnp.ndarray:
+    """[x; sin(Mx + phase)] stacked on the feature (sublane) axis: [3+F, blk]."""
+    return jnp.concatenate([x3, jnp.sin(_pe_phase_pl(x3, m_t, ph1))], axis=0)
+
+
+def _mm_pl(h: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """W^T @ h + b: w [in, out], h [in, blk], b [out, 1] -> [out, blk] fp32."""
+    return jax.lax.dot_general(w, h, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32) + b
+
+
+def _field_kernel_pl(
+    pd_ref, mt_pts_ref, ph_pts_ref, mt_dirs_ref, ph_dirs_ref, *refs,
+    depth: int, skips: Tuple[int, ...], use_semantics: bool,
+    sem_with_coord: bool, compute_dtype,
+):
+    """Planar block: pd [6, blk] (x,y,z,dx,dy,dz rows) -> raw [C_out, blk]."""
+    n_w = depth + 4 + (2 if use_semantics else 0)
+    w_refs = refs[:n_w]
+    b_refs = refs[n_w:2 * n_w]
+    out_ref = refs[2 * n_w]
+    cd = compute_dtype
+
+    pd = pd_ref[:].astype(jnp.float32)
+    emb = _pe_in_kernel_pl(pd[0:3], mt_pts_ref[:], ph_pts_ref[:]).astype(cd)
+
+    it = iter(range(n_w))
+    h = emb
+    for i in range(depth):
+        k = next(it)
+        h = jnp.maximum(_mm_pl(h, w_refs[k][:], b_refs[k][:]), 0.0).astype(cd)
+        if i in skips:
+            h = jnp.concatenate([emb, h], axis=0)
+
+    k_alpha, k_feat, k_views, k_rgb = next(it), next(it), next(it), next(it)
+    alpha = _mm_pl(h, w_refs[k_alpha][:], b_refs[k_alpha][:])
+
+    sem = None
+    if use_semantics:
+        k_s0, k_s1 = next(it), next(it)
+        sem_in = jnp.concatenate([h, emb], axis=0) if sem_with_coord else h
+        s = jnp.maximum(_mm_pl(sem_in, w_refs[k_s0][:], b_refs[k_s0][:]), 0.0).astype(cd)
+        sem = _mm_pl(s, w_refs[k_s1][:], b_refs[k_s1][:])
+
+    demb = _pe_in_kernel_pl(pd[3:6], mt_dirs_ref[:], ph_dirs_ref[:]).astype(cd)
+    feat = _mm_pl(h, w_refs[k_feat][:], b_refs[k_feat][:]).astype(cd)
+    hv = jnp.maximum(_mm_pl(jnp.concatenate([feat, demb], axis=0),
+                            w_refs[k_views][:], b_refs[k_views][:]), 0.0).astype(cd)
+    rgb = _mm_pl(hv, w_refs[k_rgb][:], b_refs[k_rgb][:])
+
+    parts = [rgb, alpha] + ([sem] if use_semantics else [])
+    out_ref[:] = jnp.concatenate(parts, axis=0).astype(jnp.float32)
+
+
+def _sigma_kernel_pl(p3_ref, mt_pts_ref, ph_pts_ref, *refs,
+                     depth: int, skips: Tuple[int, ...], compute_dtype):
+    """Planar density-only block: p3 [3, blk] -> sigma [1, blk]."""
+    n_w = depth + 1
+    w_refs = refs[:n_w]
+    b_refs = refs[n_w:2 * n_w]
+    out_ref = refs[2 * n_w]
+    cd = compute_dtype
+
+    p3 = p3_ref[:].astype(jnp.float32)
+    emb = _pe_in_kernel_pl(p3, mt_pts_ref[:], ph_pts_ref[:]).astype(cd)
+    h = emb
+    for i in range(depth):
+        h = jnp.maximum(_mm_pl(h, w_refs[i][:], b_refs[i][:]), 0.0).astype(cd)
+        if i in skips:
+            h = jnp.concatenate([emb, h], axis=0)
+    out_ref[:] = _mm_pl(h, w_refs[depth][:], b_refs[depth][:]).astype(jnp.float32)
+
+
+def _pe_consts_pl(multires: int, multires_views: Optional[int] = None):
+    """Planar PE operands: transposed frequency matrices + phase columns."""
+    from nerfsos_tpu.core.encoding import _trig_matmul_consts
+
+    m_p, ph_p = _trig_matmul_consts(3, multires, float(multires - 1), True)
+    out = [jnp.asarray(m_p).T, jnp.asarray(ph_p)[:, None]]
+    if multires_views is not None:
+        m_d, ph_d = _trig_matmul_consts(3, multires_views, float(multires_views - 1), True)
+        out += [jnp.asarray(m_d).T, jnp.asarray(ph_d)[:, None]]
+    return tuple(out)
+
+
+def _planar_pad(x: jnp.ndarray, blk: int) -> Tuple[jnp.ndarray, int, int]:
+    N = x.shape[1]
+    n_blocks = -(-N // blk)
+    pad = n_blocks * blk - N
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((x.shape[0], pad), x.dtype)], axis=1)
+    return x, n_blocks, pad
+
+
+def _fused_forward_pl(ws, bs, pd, depth, skips, multires, multires_views,
+                      use_semantics, sem_with_coord, compute_dtype_name,
+                      block: int = 2048, interpret: Optional[bool] = None):
+    N = pd.shape[1]
+    out_ch = 4 + (ws[-1].shape[-1] if use_semantics else 0)
+    compute_dtype = jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
+    if FWD_BLOCK is not None:
+        block = FWD_BLOCK
+    blk = min(block, max(N, 8))
+    pd, n_blocks, pad = _planar_pad(pd, blk)
+    ws = tuple(w.astype(compute_dtype) for w in ws)
+    bs_col = tuple(b.astype(jnp.float32).reshape(-1, 1) for b in bs)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    pe_args = _pe_consts_pl(multires, multires_views)
+    full = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
+                                    memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_field_kernel_pl, depth=depth, skips=skips,
+                          use_semantics=use_semantics,
+                          sem_with_coord=sem_with_coord,
+                          compute_dtype=compute_dtype),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((6, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            *[full(a) for a in pe_args],
+            *[full(w) for w in ws],
+            *[full(b) for b in bs_col],
+        ],
+        out_specs=pl.BlockSpec((out_ch, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((out_ch, n_blocks * blk), jnp.float32),
+        interpret=interpret,
+    )(pd, *pe_args, *ws, *bs_col)
+    return out[:, :N] if pad else out
+
+
+def _sigma_forward_pl(ws, bs, p3, depth, skips, multires, compute_dtype_name,
+                      block: int = 2048, interpret: Optional[bool] = None):
+    N = p3.shape[1]
+    compute_dtype = jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
+    if FWD_BLOCK is not None:
+        block = FWD_BLOCK
+    blk = min(block, max(N, 8))
+    p3, n_blocks, pad = _planar_pad(p3, blk)
+    ws = tuple(w.astype(compute_dtype) for w in ws)
+    bs_col = tuple(b.astype(jnp.float32).reshape(-1, 1) for b in bs)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    pe_args = _pe_consts_pl(multires)
+    full = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
+                                    memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_sigma_kernel_pl, depth=depth, skips=skips,
+                          compute_dtype=compute_dtype),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((3, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            *[full(a) for a in pe_args],
+            *[full(w) for w in ws],
+            *[full(b) for b in bs_col],
+        ],
+        out_specs=pl.BlockSpec((1, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, n_blocks * blk), jnp.float32),
+        interpret=interpret,
+    )(p3, *pe_args, *ws, *bs_col)
+    return out[:, :N] if pad else out
+
+
+def _field_bwd_kernel_pl(
+    pd_ref, g_ref, mt_pts_ref, ph_pts_ref, mt_dirs_ref, ph_dirs_ref, *refs,
+    depth: int, skips: Tuple[int, ...], use_semantics: bool,
+    sem_with_coord: bool, compute_dtype,
+):
+    """Planar backward: recompute forward in VMEM, reverse sweep, accumulate
+    dW/db in fp32 VMEM buffers across the sequential grid. Input (pd) grads
+    are NOT computed — the planar path is only used with
+    ``field_input_grads=False`` (rays are data in every shipped trainer)."""
+    n_w = depth + 4 + (2 if use_semantics else 0)
+    w_refs = refs[:n_w]
+    b_refs = refs[n_w:2 * n_w]
+    dw_refs = refs[2 * n_w:3 * n_w]
+    db_refs = refs[3 * n_w:4 * n_w]
+    cd = compute_dtype
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for r in dw_refs + db_refs:
+            r[:] = jnp.zeros_like(r)
+
+    def tm(a, b):
+        """a [in, blk], b [out, blk] -> dW [in, out], fp32 accumulate.
+
+        Operands are cast to one dtype first: Mosaic's lowering of a MIXED
+        bf16 x f32 dot emits an invalid vector.broadcast (verification
+        failure seen 2026-08-16 on this toolchain)."""
+        return jax.lax.dot_general(a.astype(cd), b.astype(cd),
+                                   (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    def wd(w, d):
+        """W [in, out] @ d [out, blk] -> [in, blk], fp32 accumulate."""
+        return jax.lax.dot_general(w.astype(cd), d.astype(cd),
+                                   (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    # ---- forward recompute (planar) --------------------------------------
+    pd = pd_ref[:].astype(jnp.float32)
+    emb = _pe_in_kernel_pl(pd[0:3], mt_pts_ref[:], ph_pts_ref[:]).astype(cd)
+
+    it = iter(range(n_w))
+    acts = []
+    ins = [emb]
+    h = emb
+    for i in range(depth):
+        k = next(it)
+        a = jnp.maximum(_mm_pl(h, w_refs[k][:], b_refs[k][:]), 0.0).astype(cd)
+        acts.append(a)
+        h = jnp.concatenate([emb, a], axis=0) if i in skips else a
+        if i + 1 < depth:
+            ins.append(h)
+
+    k_alpha, k_feat, k_views, k_rgb = next(it), next(it), next(it), next(it)
+    if use_semantics:
+        k_s0, k_s1 = next(it), next(it)
+        sem_in = jnp.concatenate([h, emb], axis=0) if sem_with_coord else h
+        s = jnp.maximum(_mm_pl(sem_in, w_refs[k_s0][:], b_refs[k_s0][:]), 0.0).astype(cd)
+
+    demb = _pe_in_kernel_pl(pd[3:6], mt_dirs_ref[:], ph_dirs_ref[:]).astype(cd)
+    feat = _mm_pl(h, w_refs[k_feat][:], b_refs[k_feat][:]).astype(cd)
+    hv_in = jnp.concatenate([feat, demb], axis=0)
+    hv = jnp.maximum(_mm_pl(hv_in, w_refs[k_views][:], b_refs[k_views][:]), 0.0).astype(cd)
+
+    # ---- reverse sweep ----------------------------------------------------
+    g = g_ref[:].astype(jnp.float32)  # [3 + 1 + sem, blk]
+    d_rgb = g[0:3, :].astype(cd)
+    d_alpha = g[3:4, :].astype(cd)
+
+    dw_refs[k_rgb][:] += tm(hv, d_rgb)
+    db_refs[k_rgb][:] += jnp.sum(d_rgb.astype(jnp.float32), 1, keepdims=True)
+    dhv = _relu_bwd(hv, wd(w_refs[k_rgb][:], d_rgb)).astype(cd)
+
+    dw_refs[k_views][:] += tm(hv_in, dhv)
+    db_refs[k_views][:] += jnp.sum(dhv.astype(jnp.float32), 1, keepdims=True)
+    dhv_in = wd(w_refs[k_views][:], dhv)
+    d_feat = dhv_in[:feat.shape[0], :].astype(cd)
+
+    dw_refs[k_feat][:] += tm(h, d_feat)
+    db_refs[k_feat][:] += jnp.sum(d_feat.astype(jnp.float32), 1, keepdims=True)
+    dh = wd(w_refs[k_feat][:], d_feat)
+
+    # Mosaic cannot lower the [in,blk] x [1,blk] -> [in,1] dot (the single-
+    # output-lane a@b^T case emits an invalid bf16->f32 vector.broadcast on
+    # this toolchain; isolated 2026-08-16). Pad the alpha cotangent to two
+    # rows and keep column 0.
+    d_alpha2 = jnp.concatenate([d_alpha, jnp.zeros_like(d_alpha)], axis=0)
+    dw_refs[k_alpha][:] += tm(h, d_alpha2)[:, 0:1]
+    db_refs[k_alpha][:] += jnp.sum(d_alpha.astype(jnp.float32), 1, keepdims=True)
+    dh += wd(w_refs[k_alpha][:], d_alpha)
+
+    if use_semantics:
+        d_sem = g[4:, :].astype(cd)
+        dw_refs[k_s1][:] += tm(s, d_sem)
+        db_refs[k_s1][:] += jnp.sum(d_sem.astype(jnp.float32), 1, keepdims=True)
+        ds = _relu_bwd(s, wd(w_refs[k_s1][:], d_sem)).astype(cd)
+        dw_refs[k_s0][:] += tm(sem_in, ds)
+        db_refs[k_s0][:] += jnp.sum(ds.astype(jnp.float32), 1, keepdims=True)
+        dsem_in = wd(w_refs[k_s0][:], ds)
+        dh += dsem_in[:h.shape[0], :] if sem_with_coord else dsem_in
+
+    dcur = dh
+    for i in reversed(range(depth)):
+        if i in skips:
+            dcur = dcur[emb.shape[0]:, :]  # emb rows: input grads not needed
+        dpre = _relu_bwd(acts[i], dcur).astype(cd)
+        dw_refs[i][:] += tm(ins[i], dpre)
+        db_refs[i][:] += jnp.sum(dpre.astype(jnp.float32), 1, keepdims=True)
+        dcur = wd(w_refs[i][:], dpre)
+
+
+def _fused_backward_pl(ws, bs, pd, g, depth, skips, multires, multires_views,
+                       use_semantics, sem_with_coord, compute_dtype_name,
+                       block: Optional[int] = None,
+                       interpret: Optional[bool] = None):
+    compute_dtype = jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
+    if block is None:
+        block = BWD_BLOCK or (1024 if compute_dtype == jnp.bfloat16 else 256)
+    N = pd.shape[1]
+    blk = min(block, max(N, 8))
+    pd, n_blocks, pad = _planar_pad(pd, blk)
+    if pad:
+        g = jnp.concatenate([g, jnp.zeros((g.shape[0], pad), g.dtype)], axis=1)
+
+    w_shapes = [w.shape for w in ws]
+    b_sizes = [b.shape[0] for b in bs]
+    ws_c = tuple(w.astype(compute_dtype) for w in ws)
+    bs_col = tuple(b.astype(jnp.float32).reshape(-1, 1) for b in bs)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    pe_args = _pe_consts_pl(multires, multires_views)
+    full = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
+                                    memory_space=pltpu.VMEM)
+    acc2d = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                       memory_space=pltpu.VMEM)
+    out_shapes = (
+        [jax.ShapeDtypeStruct(s, jnp.float32) for s in w_shapes]
+        + [jax.ShapeDtypeStruct((n, 1), jnp.float32) for n in b_sizes]
+    )
+    out_specs = [acc2d(s) for s in w_shapes] + [acc2d((n, 1)) for n in b_sizes]
+    outs = pl.pallas_call(
+        functools.partial(_field_bwd_kernel_pl, depth=depth, skips=skips,
+                          use_semantics=use_semantics,
+                          sem_with_coord=sem_with_coord,
+                          compute_dtype=compute_dtype),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((6, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g.shape[0], blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            *[full(a) for a in pe_args],
+            *[full(w) for w in ws_c],
+            *[full(b) for b in bs_col],
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(pd, g, *pe_args, *ws_c, *bs_col)
+
+    n_w = len(ws)
+    dws = tuple(outs[i].astype(ws[i].dtype) for i in range(n_w))
+    dbs = tuple(outs[n_w + i][:, 0].astype(bs[i].dtype) for i in range(n_w))
+    return dws, dbs
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
+def _fused_apply_pl(ws, bs, pd, depth, skips, multires, multires_views,
+                    use_semantics, sem_with_coord, compute_dtype_name,
+                    bwd_block=None):
+    return _fused_forward_pl(ws, bs, pd, depth, skips, multires,
+                             multires_views, use_semantics, sem_with_coord,
+                             compute_dtype_name)
+
+
+def _fused_fwd_pl(ws, bs, pd, *static):
+    # static = (..., compute_dtype_name, bwd_block); forward takes neither
+    # bwd_block nor anything after compute_dtype_name.
+    return _fused_forward_pl(ws, bs, pd, *static[:7]), (ws, bs, pd)
+
+
+def _fused_bwd_pl(depth, skips, multires, multires_views, use_semantics,
+                  sem_with_coord, compute_dtype_name, bwd_block, residuals, g):
+    ws, bs, pd = residuals
+    dws, dbs = _fused_backward_pl(ws, bs, pd, g, depth, skips, multires,
+                                  multires_views, use_semantics,
+                                  sem_with_coord, compute_dtype_name,
+                                  block=bwd_block)
+    # pd is rays-as-data on every planar call site (field_input_grads=False
+    # is a hard precondition checked in fused_field_apply_planar).
+    return dws, dbs, jnp.zeros_like(pd)
+
+
+_fused_apply_pl.defvjp(_fused_fwd_pl, _fused_bwd_pl)
+
+
+def fused_field_apply_planar(params: Dict[str, Any], pd: jnp.ndarray, cfg,
+                             depth: Optional[int] = None) -> jnp.ndarray:
+    """Planar fused field: pd [6, N] (x,y,z,dx,dy,dz rows) -> raw [C_out, N].
+
+    Same math as ``fused_field_apply`` with channel-major IO (see the planar
+    section header). Requires ``cfg.field_input_grads=False`` — the backward
+    returns zero cotangents for pd.
+    """
+    if getattr(cfg, "field_input_grads", False):
+        raise ValueError("planar fused field does not compute input grads; "
+                         "use fused_field_apply (row-major) instead")
+    mlp = params["mlp"]
+    depth = cfg.netdepth if depth is None else depth
+    ws, bs = _flatten_mlp_params(mlp, depth, cfg.use_semantics)
+    return _fused_apply_pl(
+        tuple(ws), tuple(bs), pd,
+        depth, (4,), cfg.multires, cfg.multires_views,
+        cfg.use_semantics, cfg.sem_with_coord, cfg.compute_dtype,
+        getattr(cfg, "field_bwd_block", None),
+    )
+
+
+def fused_sigma_apply_planar(params: Dict[str, Any], p3: jnp.ndarray, cfg,
+                             depth: Optional[int] = None) -> jnp.ndarray:
+    """Planar density-only field: p3 [3, N] -> sigma [N] (forward-only)."""
+    mlp = params["mlp"]
+    depth = cfg.netdepth if depth is None else depth
+    names = [f"pts_linears_{i}" for i in range(depth)] + ["alpha_linear"]
+    ws = tuple(mlp[n]["kernel"] for n in names)
+    bs = tuple(mlp[n]["bias"] for n in names)
+    return _sigma_forward_pl(ws, bs, p3, depth, (4,), cfg.multires,
+                             cfg.compute_dtype)[0]
+
+
 def fused_field_apply(params: Dict[str, Any], pts: jnp.ndarray,
                       viewdirs: jnp.ndarray, cfg,
                       depth: Optional[int] = None) -> jnp.ndarray:
