@@ -26,6 +26,11 @@ import jax.numpy as jnp
 
 A100_TORCH_RENDER_RAYS_PER_SEC = 50_000.0
 N_RAYS = 16384
+# Render measures a 65536-ray block (reachable via --ray_chunk 65536): the
+# planar kernels removed the 42.7x-padded buffers that used to OOM this
+# shape, and the bigger block amortizes grid/dispatch overhead
+# (341k -> 354k rays/s measured; tools/perf_planar_sweep.py).
+N_RAYS_RENDER = 65536
 
 
 def log(*a):
@@ -53,19 +58,20 @@ def bench_render(fused: bool, coarse_outputs: bool = False) -> float:
     reference-parity render (every output the reference computes)."""
     from nerfsos_tpu.models.nerf import NeRFConfig, NeRFNet
 
+    n = N_RAYS_RENDER if fused else N_RAYS
     cfg = NeRFConfig(
         n_samples=64, n_importance=128, use_semantics=True, sem_with_coord=True,
-        ray_block=N_RAYS, remat=False, compute_dtype="bfloat16", fused_field=fused,
+        ray_block=n, remat=False, compute_dtype="bfloat16", fused_field=fused,
     )
     net = NeRFNet(cfg)
     params = net.init(jax.random.PRNGKey(0))
-    rays = jax.random.normal(jax.random.PRNGKey(1), (2, N_RAYS, 3))
+    rays = jax.random.normal(jax.random.PRNGKey(1), (2, n, 3))
     render = jax.jit(lambda p, r: net(p, r, (1.2, 14.72), train=False,
                                       coarse_outputs=coarse_outputs)["rgb"])
     dt = time_fn(render, params, rays)
     name = ("pallas" if fused else "xla") + ("/full" if coarse_outputs else "/eval")
-    log(f"render[{name}]: {dt*1e3:.1f} ms / {N_RAYS} rays = {N_RAYS/dt:,.0f} rays/s")
-    return N_RAYS / dt
+    log(f"render[{name}]: {dt*1e3:.1f} ms / {n} rays = {n/dt:,.0f} rays/s")
+    return n / dt
 
 
 def bench_train() -> float:
