@@ -283,3 +283,45 @@ def test_shard_map_eval_render_matches_unsharded():
         # for the different block shapes
         np.testing.assert_allclose(np.asarray(ref[k]), np.asarray(got[k]),
                                    rtol=2e-6, atol=1e-7, err_msg=k)
+
+
+def test_shard_map_with_fused_planar_field_matches_single_device():
+    """The PRODUCTION multi-chip path is shard_map + the fused (planar)
+    Pallas field — exercise them together: per-shard interpret-mode kernels,
+    explicit pmean grads, vs the single-device fused step."""
+    import optax
+
+    cfg = NeRFConfig(netwidth=32, netdepth=2, netwidth_fine=32, netdepth_fine=2,
+                     n_samples=8, n_importance=8, multires=4, multires_views=2,
+                     use_semantics=True, sem_with_coord=True, perturb=0.0,
+                     ray_block=4096, fused_field=True)
+    net = NeRFNet(cfg)
+    params = net.init(jax.random.PRNGKey(0))
+    tx = optax.sgd(1e-2)
+    B = 64
+    batch = {"rays": jax.random.normal(jax.random.PRNGKey(1), (2, B, 3)),
+             "target": jax.random.uniform(jax.random.PRNGKey(3), (B, 3)),
+             "masks": jnp.zeros((B, 1))}
+    key = jax.random.PRNGKey(2)
+
+    s1 = TrainState.create(params, tx)
+    out1, m1 = make_rgb_train_step(net, 1.0, 4.0, donate=False)(s1, batch, key)
+
+    m = pmesh.make_mesh(8)
+    s8 = jax.device_put(TrainState.create(params, tx), pmesh.replicated(m))
+    step8 = make_rgb_train_step(net, 1.0, 4.0, mesh=m, donate=False,
+                                spmd="shard_map")
+    sb = {
+        "rays": jax.device_put(batch["rays"], pmesh.data_sharding(m, 1, 3)),
+        "target": jax.device_put(batch["target"], pmesh.data_sharding(m, 0, 2)),
+        "masks": jax.device_put(batch["masks"], pmesh.data_sharding(m, 0, 2)),
+    }
+    out8, m8 = step8(s8, sb, key)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-5)
+    for (p1, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(out1.params)[0],
+        jax.tree_util.tree_flatten_with_path(out8.params)[0],
+    ):
+        np.testing.assert_allclose(np.array(a), np.array(b), atol=1e-5,
+                                   err_msg=jax.tree_util.keystr(p1))
