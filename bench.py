@@ -74,6 +74,27 @@ def bench_render(fused: bool, coarse_outputs: bool = False) -> float:
     return n / dt
 
 
+def bench_mip_render() -> float:
+    """mip-NeRF family eval render (shared coarse/fine MLP, IPE) through the
+    planar fused kernel — 2.06x the XLA field (tools/perf_mip_planar.py)."""
+    from nerfsos_tpu.models.mip import MipNeRFNet
+    from nerfsos_tpu.models.nerf import NeRFConfig
+
+    n = 16384
+    cfg = NeRFConfig(
+        n_samples=64, n_importance=128, multires=10, multires_views=4,
+        ray_block=n, remat=False, compute_dtype="bfloat16", fused_field=True,
+    )
+    net = MipNeRFNet(cfg)
+    params = net.init(jax.random.PRNGKey(0))
+    rays = jax.random.normal(jax.random.PRNGKey(1), (2, n, 3))
+    render = jax.jit(lambda p, r: net(p, r, (1.2, 14.72), 0.001,
+                                      train=False)["rgb"])
+    dt = time_fn(render, params, rays)
+    log(f"mip render: {dt*1e3:.1f} ms / {n} rays = {n/dt:,.0f} rays/s")
+    return n / dt
+
+
 def bench_train() -> float:
     from nerfsos_tpu.engines.state import TrainState, make_optimizer
     from nerfsos_tpu.engines.trainer import make_rgb_train_step
@@ -159,7 +180,7 @@ def main():
             break
         except Exception:
             log(f"render(fused={fused}) failed:\n{traceback.format_exc(limit=2)}")
-    train_rps = sos_rps = 0.0
+    train_rps = sos_rps = mip_rps = 0.0
     try:
         train_rps = bench_train()
     except Exception:
@@ -168,6 +189,10 @@ def main():
         sos_rps = bench_sos()
     except Exception:
         log(f"sos bench failed:\n{traceback.format_exc(limit=2)}")
+    try:
+        mip_rps = bench_mip_render()
+    except Exception:
+        log(f"mip bench failed:\n{traceback.format_exc(limit=2)}")
 
     print(json.dumps({
         "metric": "flower_flagship_render_rays_per_sec_per_chip",
@@ -177,6 +202,7 @@ def main():
         "render_full_outputs_rays_per_sec": round(render_full_rps, 1),
         "train_rays_per_sec": round(train_rps, 1),
         "sos_train_rays_per_sec": round(sos_rps, 1),
+        "mip_render_rays_per_sec": round(mip_rps, 1),
     }))
 
 

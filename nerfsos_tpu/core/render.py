@@ -116,11 +116,13 @@ def mip_volumetric_render(
     raw_noise_std: float = 0.0,
     white_bkgd: bool = False,
     noise_key: Optional[jax.Array] = None,
+    channels_first: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """mip-NeRF compositing over interval Gaussians.
 
     Args:
-      raw:    [R, S, 4] with sigma LAST (``raw[..., -1]``), per the reference.
+      raw:    [R, S, 4] with sigma LAST (``raw[..., -1]``), per the reference
+              — or [4, R, S] with ``channels_first=True`` (planar fused field).
       z_vals: [R, S+1] interval EDGES (samples live between consecutive edges).
     Parity: reference ``models/renderer.py:98-152`` (``MipVolumetricRenderer``)
     — midpoint depths, no far-padding of dists.
@@ -129,15 +131,19 @@ def mip_volumetric_render(
     dists = z_vals[..., 1:] - z_vals[..., :-1]
     dists = dists * jnp.linalg.norm(rays_d[..., None, :], axis=-1)
 
-    sigma = raw[..., -1]
+    sigma = raw[-1] if channels_first else raw[..., -1]
     if raw_noise_std > 0.0:
         sigma = sigma + jax.random.normal(noise_key, sigma.shape, sigma.dtype) * raw_noise_std
 
     alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma) * dists)
     weights = alpha * exclusive_cumprod_1m(alpha)
 
-    rgb = jax.nn.sigmoid(raw[..., :-1])
-    rgb_map = jnp.sum(weights[..., None] * rgb, axis=-2)
+    if channels_first:
+        rgb = jax.nn.sigmoid(raw[:-1])  # [3, R, S]
+        rgb_map = jnp.sum(weights[None] * rgb, axis=-1).T
+    else:
+        rgb = jax.nn.sigmoid(raw[..., :-1])
+        rgb_map = jnp.sum(weights[..., None] * rgb, axis=-2)
     depth_map = jnp.sum(weights * mids, axis=-1, keepdims=True)
     acc_map = jnp.sum(weights, axis=-1, keepdims=True)
     depth_map = jnp.where(acc_map <= 1e-10, 1e10, depth_map)

@@ -83,6 +83,40 @@ def cast_rays(z_vals: jnp.ndarray, rays_o: jnp.ndarray, rays_d: jnp.ndarray,
     return means + rays_o[..., None, :], covs
 
 
+def cast_rays_planar(z_vals: jnp.ndarray, rays_o: jnp.ndarray,
+                     rays_d: jnp.ndarray, radii: jnp.ndarray,
+                     viewdirs: jnp.ndarray, ray_shape: str = "cone") -> jnp.ndarray:
+    """``cast_rays`` in the planar layout the fused mip kernel consumes:
+    [9, R*S] rows = (mean xyz, cov_diag xyz, viewdirs xyz).
+
+    Same closed forms as :func:`cast_rays`, computed channel-major so no
+    [R, S, 3] tensor is ever materialized (those tile with up to 42.7x lane
+    padding as Pallas operands — see ops/pallas/fused_field.py)."""
+    t0, t1 = z_vals[..., :-1], z_vals[..., 1:]
+    radii = jnp.broadcast_to(radii, t0.shape)
+    if ray_shape == "cone":
+        mu = (t0 + t1) / 2
+        hw = (t1 - t0) / 2
+        t_mean = mu + (2 * mu * hw**2) / (3 * mu**2 + hw**2)
+        t_var = (hw**2) / 3 - (4 / 15) * ((hw**4 * (12 * mu**2 - hw**2)) / (3 * mu**2 + hw**2) ** 2)
+        r_var = radii**2 * ((mu**2) / 4 + (5 / 12) * hw**2 - (4 / 15) * (hw**4) / (3 * mu**2 + hw**2))
+    elif ray_shape == "cylinder":
+        t_mean = (t0 + t1) / 2
+        r_var = radii**2 / 4
+        t_var = (t1 - t0) ** 2 / 12
+    else:
+        raise ValueError(f"Unknown ray shape: {ray_shape}")
+    d_t = rays_d.T[:, :, None]  # [3, R, 1]
+    mean = d_t * t_mean[None] + rays_o.T[:, :, None]  # [3, R, S]
+    d_mag_sq = jnp.maximum(1e-10, jnp.sum(rays_d**2, -1))  # [R]
+    d_outer_diag = rays_d.T**2  # [3, R]
+    null_outer_diag = 1.0 - d_outer_diag / d_mag_sq[None]
+    cov = (t_var[None] * d_outer_diag[:, :, None]
+           + r_var[None] * null_outer_diag[:, :, None])  # [3, R, S]
+    dirs = jnp.broadcast_to(viewdirs.T[:, :, None], mean.shape)
+    return jnp.concatenate([mean, cov, dirs], axis=0).reshape(9, -1)
+
+
 def blurpool_weights(weights: jnp.ndarray) -> jnp.ndarray:
     """Edge-pad, pairwise max, 2-tap blur (reference ``:196-203``)."""
     pad = jnp.concatenate([weights[..., :1], weights, weights[..., -1:]], -1)
@@ -112,6 +146,28 @@ class MipNeRFNet:
     def _apply(self, params, pts, cov, viewdirs):
         return self.field.apply({"params": params["mip"]}, pts, cov, viewdirs)
 
+    def _planar_ok(self, viewdirs) -> bool:
+        """Fused planar mip kernel applies: same preconditions as the classic
+        planar path (see models/nerf.py `_planar_ok`)."""
+        cfg = self.cfg
+        return (cfg.fused_field and cfg.use_viewdirs and viewdirs is not None
+                and cfg.use_embed and not cfg.conv_embed
+                and not cfg.field_input_grads)
+
+    def _field_pass(self, params, z_vals, rays_o, rays_d, viewdirs, radii, planar):
+        """One field evaluation over the fenceposts; returns (raw, cf)."""
+        if planar:
+            from nerfsos_tpu.ops.pallas.fused_field import fused_mip_apply_planar
+
+            pd = cast_rays_planar(z_vals, rays_o, rays_d, radii, viewdirs,
+                                  self.ray_shape)
+            raw = fused_mip_apply_planar(params["mip"], pd, self.cfg,
+                                         depth=self.cfg.netdepth)
+            S = z_vals.shape[-1] - 1
+            return raw.reshape(4, -1, S), True
+        pts, pts_cov = cast_rays(z_vals, rays_o, rays_d, radii, self.ray_shape)
+        return self._apply(params, pts, pts_cov, viewdirs), False
+
     def render_rays(self, params, rays_o, rays_d, viewdirs, near, far, radii, key,
                     *, perturb: float, raw_noise_std: float,
                     n_samples: Optional[int] = None,
@@ -123,14 +179,15 @@ class MipNeRFNet:
         if key is None:
             key = jax.random.PRNGKey(0)
         k_strat, k_noise_c, k_imp, k_noise_f = jax.random.split(key, 4)
+        planar = self._planar_ok(viewdirs)
 
         # fenceposts
         z_vals = sampling.stratified_sample(k_strat, near, far, n_samples,
                                             perturb=perturb, lindisp=cfg.lindisp)
-        pts, pts_cov = cast_rays(z_vals, rays_o, rays_d, radii, self.ray_shape)
-        raw = self._apply(params, pts, pts_cov, viewdirs)
+        raw, cf = self._field_pass(params, z_vals, rays_o, rays_d, viewdirs, radii, planar)
         ret = mip_volumetric_render(raw, z_vals, rays_d, raw_noise_std=raw_noise_std,
-                                    white_bkgd=cfg.white_bkgd, noise_key=k_noise_c)
+                                    white_bkgd=cfg.white_bkgd, noise_key=k_noise_c,
+                                    channels_first=cf)
 
         if n_importance > 0:
             ret0 = ret
@@ -139,10 +196,10 @@ class MipNeRFNet:
             z_all, z_samples = sampling.importance_sample(
                 k_imp, z_mids, weights_blur, n_importance, det=(perturb == 0.0)
             )
-            pts, pts_cov = cast_rays(z_all, rays_o, rays_d, radii, self.ray_shape)
-            raw = self._apply(params, pts, pts_cov, viewdirs)
+            raw, cf = self._field_pass(params, z_all, rays_o, rays_d, viewdirs, radii, planar)
             ret = mip_volumetric_render(raw, z_all, rays_d, raw_noise_std=raw_noise_std,
-                                        white_bkgd=cfg.white_bkgd, noise_key=k_noise_f)
+                                        white_bkgd=cfg.white_bkgd, noise_key=k_noise_f,
+                                        channels_first=cf)
             ret["z_std"] = jnp.std(z_samples, axis=-1)
             for k, v in ret0.items():
                 ret[k + "0"] = v

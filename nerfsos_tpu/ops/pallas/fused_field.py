@@ -607,6 +607,28 @@ def _pe_in_kernel_pl(x3: jnp.ndarray, m_t: jnp.ndarray, ph1: jnp.ndarray) -> jnp
     return jnp.concatenate([x3, jnp.sin(_pe_phase_pl(x3, m_t, ph1))], axis=0)
 
 
+def _ipe_in_kernel_pl(mean3: jnp.ndarray, cov3: jnp.ndarray,
+                      m_t: jnp.ndarray) -> jnp.ndarray:
+    """Planar integrated PE: exp(-var/2)*[sin(y); sin(y + pi/2)] -> [2FD, blk].
+
+    Column (row, here) order matches ``core.encoding
+    .integrated_positional_encoding``: y freq-major/channel-minor, full sin
+    block then the shifted-sin (cos) block. m_t is the [F*D, 3] band matrix
+    (row f*D+c holds band f in column c); variances use its elementwise
+    square. Exact fp32 — same MXU-phase-rounding rationale as _pe_phase_pl.
+    """
+    import math as _math
+
+    y = (m_t[:, 0:1] * mean3[0:1, :] + m_t[:, 1:2] * mean3[1:2, :]
+         + m_t[:, 2:3] * mean3[2:3, :])
+    m2 = m_t * m_t
+    yv = (m2[:, 0:1] * cov3[0:1, :] + m2[:, 1:2] * cov3[1:2, :]
+          + m2[:, 2:3] * cov3[2:3, :])
+    scale = jnp.exp(-0.5 * yv)
+    return jnp.concatenate(
+        [scale * jnp.sin(y), scale * jnp.sin(y + 0.5 * _math.pi)], axis=0)
+
+
 def _mm_pl(h: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """W^T @ h + b: w [in, out], h [in, blk], b [out, 1] -> [out, blk] fp32."""
     return jax.lax.dot_general(w, h, (((0,), (0,)), ((), ())),
@@ -616,9 +638,12 @@ def _mm_pl(h: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 def _field_kernel_pl(
     pd_ref, mt_pts_ref, ph_pts_ref, mt_dirs_ref, ph_dirs_ref, *refs,
     depth: int, skips: Tuple[int, ...], use_semantics: bool,
-    sem_with_coord: bool, compute_dtype,
+    sem_with_coord: bool, compute_dtype, ipe: bool = False,
 ):
-    """Planar block: pd [6, blk] (x,y,z,dx,dy,dz rows) -> raw [C_out, blk]."""
+    """Planar block: pd [6, blk] (x,y,z,dx,dy,dz rows) -> raw [C_out, blk].
+
+    ``ipe=True`` (mip-NeRF): pd is [9, blk] (mean, cov_diag, dirs rows) and
+    the position encoding is the integrated PE over diagonal Gaussians."""
     n_w = depth + 4 + (2 if use_semantics else 0)
     w_refs = refs[:n_w]
     b_refs = refs[n_w:2 * n_w]
@@ -626,7 +651,10 @@ def _field_kernel_pl(
     cd = compute_dtype
 
     pd = pd_ref[:].astype(jnp.float32)
-    emb = _pe_in_kernel_pl(pd[0:3], mt_pts_ref[:], ph_pts_ref[:]).astype(cd)
+    if ipe:
+        emb = _ipe_in_kernel_pl(pd[0:3], pd[3:6], mt_pts_ref[:]).astype(cd)
+    else:
+        emb = _pe_in_kernel_pl(pd[0:3], mt_pts_ref[:], ph_pts_ref[:]).astype(cd)
 
     it = iter(range(n_w))
     h = emb
@@ -646,7 +674,8 @@ def _field_kernel_pl(
         s = jnp.maximum(_mm_pl(sem_in, w_refs[k_s0][:], b_refs[k_s0][:]), 0.0).astype(cd)
         sem = _mm_pl(s, w_refs[k_s1][:], b_refs[k_s1][:])
 
-    demb = _pe_in_kernel_pl(pd[3:6], mt_dirs_ref[:], ph_dirs_ref[:]).astype(cd)
+    dirs3 = pd[6:9] if ipe else pd[3:6]
+    demb = _pe_in_kernel_pl(dirs3, mt_dirs_ref[:], ph_dirs_ref[:]).astype(cd)
     feat = _mm_pl(h, w_refs[k_feat][:], b_refs[k_feat][:]).astype(cd)
     hv = jnp.maximum(_mm_pl(jnp.concatenate([feat, demb], axis=0),
                             w_refs[k_views][:], b_refs[k_views][:]), 0.0).astype(cd)
@@ -687,6 +716,23 @@ def _pe_consts_pl(multires: int, multires_views: Optional[int] = None):
     return tuple(out)
 
 
+def _ipe_consts_pl(multires: int, multires_views: int):
+    """IPE band matrix [F*D, 3] (row f*D+c holds band f in column c — the
+    freq-major/channel-minor order of `integrated_positional_encoding`), a
+    dummy phase column, and the classic dirs-PE consts."""
+    from nerfsos_tpu.core.encoding import _trig_matmul_consts
+
+    bands = (2.0 ** np.linspace(0.0, float(multires - 1), multires)).astype(np.float32)
+    D = 3
+    M = np.zeros((multires * D, D), np.float32)
+    for f in range(multires):
+        for c in range(D):
+            M[f * D + c, c] = bands[f]
+    m_d, ph_d = _trig_matmul_consts(3, multires_views, float(multires_views - 1), True)
+    return (jnp.asarray(M), jnp.zeros((multires * D, 1), jnp.float32),
+            jnp.asarray(m_d).T, jnp.asarray(ph_d)[:, None])
+
+
 def _planar_pad(x: jnp.ndarray, blk: int) -> Tuple[jnp.ndarray, int, int]:
     N = x.shape[1]
     n_blocks = -(-N // blk)
@@ -698,8 +744,10 @@ def _planar_pad(x: jnp.ndarray, blk: int) -> Tuple[jnp.ndarray, int, int]:
 
 def _fused_forward_pl(ws, bs, pd, depth, skips, multires, multires_views,
                       use_semantics, sem_with_coord, compute_dtype_name,
-                      block: int = 2048, interpret: Optional[bool] = None):
+                      block: int = 2048, interpret: Optional[bool] = None,
+                      ipe: bool = False):
     N = pd.shape[1]
+    in_rows = pd.shape[0]  # 6 classic (pts+dirs), 9 ipe (mean+cov+dirs)
     out_ch = 4 + (ws[-1].shape[-1] if use_semantics else 0)
     compute_dtype = jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
     if FWD_BLOCK is not None:
@@ -711,17 +759,18 @@ def _fused_forward_pl(ws, bs, pd, depth, skips, multires, multires_views,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    pe_args = _pe_consts_pl(multires, multires_views)
+    pe_args = (_ipe_consts_pl(multires, multires_views) if ipe
+               else _pe_consts_pl(multires, multires_views))
     full = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
                                     memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_field_kernel_pl, depth=depth, skips=skips,
                           use_semantics=use_semantics,
                           sem_with_coord=sem_with_coord,
-                          compute_dtype=compute_dtype),
+                          compute_dtype=compute_dtype, ipe=ipe),
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((6, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((in_rows, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
             *[full(a) for a in pe_args],
             *[full(w) for w in ws],
             *[full(b) for b in bs_col],
@@ -769,7 +818,7 @@ def _sigma_forward_pl(ws, bs, p3, depth, skips, multires, compute_dtype_name,
 def _field_bwd_kernel_pl(
     pd_ref, g_ref, mt_pts_ref, ph_pts_ref, mt_dirs_ref, ph_dirs_ref, *refs,
     depth: int, skips: Tuple[int, ...], use_semantics: bool,
-    sem_with_coord: bool, compute_dtype,
+    sem_with_coord: bool, compute_dtype, ipe: bool = False,
 ):
     """Planar backward: recompute forward in VMEM, reverse sweep, accumulate
     dW/db in fp32 VMEM buffers across the sequential grid. Input (pd) grads
@@ -805,7 +854,10 @@ def _field_bwd_kernel_pl(
 
     # ---- forward recompute (planar) --------------------------------------
     pd = pd_ref[:].astype(jnp.float32)
-    emb = _pe_in_kernel_pl(pd[0:3], mt_pts_ref[:], ph_pts_ref[:]).astype(cd)
+    if ipe:
+        emb = _ipe_in_kernel_pl(pd[0:3], pd[3:6], mt_pts_ref[:]).astype(cd)
+    else:
+        emb = _pe_in_kernel_pl(pd[0:3], mt_pts_ref[:], ph_pts_ref[:]).astype(cd)
 
     it = iter(range(n_w))
     acts = []
@@ -825,7 +877,8 @@ def _field_bwd_kernel_pl(
         sem_in = jnp.concatenate([h, emb], axis=0) if sem_with_coord else h
         s = jnp.maximum(_mm_pl(sem_in, w_refs[k_s0][:], b_refs[k_s0][:]), 0.0).astype(cd)
 
-    demb = _pe_in_kernel_pl(pd[3:6], mt_dirs_ref[:], ph_dirs_ref[:]).astype(cd)
+    dirs3 = pd[6:9] if ipe else pd[3:6]
+    demb = _pe_in_kernel_pl(dirs3, mt_dirs_ref[:], ph_dirs_ref[:]).astype(cd)
     feat = _mm_pl(h, w_refs[k_feat][:], b_refs[k_feat][:]).astype(cd)
     hv_in = jnp.concatenate([feat, demb], axis=0)
     hv = jnp.maximum(_mm_pl(hv_in, w_refs[k_views][:], b_refs[k_views][:]), 0.0).astype(cd)
@@ -880,11 +933,12 @@ def _field_bwd_kernel_pl(
 def _fused_backward_pl(ws, bs, pd, g, depth, skips, multires, multires_views,
                        use_semantics, sem_with_coord, compute_dtype_name,
                        block: Optional[int] = None,
-                       interpret: Optional[bool] = None):
+                       interpret: Optional[bool] = None, ipe: bool = False):
     compute_dtype = jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
     if block is None:
         block = BWD_BLOCK or (1024 if compute_dtype == jnp.bfloat16 else 256)
     N = pd.shape[1]
+    in_rows = pd.shape[0]
     blk = min(block, max(N, 8))
     pd, n_blocks, pad = _planar_pad(pd, blk)
     if pad:
@@ -897,7 +951,8 @@ def _fused_backward_pl(ws, bs, pd, g, depth, skips, multires, multires_views,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    pe_args = _pe_consts_pl(multires, multires_views)
+    pe_args = (_ipe_consts_pl(multires, multires_views) if ipe
+               else _pe_consts_pl(multires, multires_views))
     full = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
                                     memory_space=pltpu.VMEM)
     acc2d = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
@@ -911,10 +966,10 @@ def _fused_backward_pl(ws, bs, pd, g, depth, skips, multires, multires_views,
         functools.partial(_field_bwd_kernel_pl, depth=depth, skips=skips,
                           use_semantics=use_semantics,
                           sem_with_coord=sem_with_coord,
-                          compute_dtype=compute_dtype),
+                          compute_dtype=compute_dtype, ipe=ipe),
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((6, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((in_rows, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((g.shape[0], blk), lambda i: (0, i), memory_space=pltpu.VMEM),
             *[full(a) for a in pe_args],
             *[full(w) for w in ws_c],
@@ -931,28 +986,31 @@ def _fused_backward_pl(ws, bs, pd, g, depth, skips, multires, multires_views,
     return dws, dbs
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11))
 def _fused_apply_pl(ws, bs, pd, depth, skips, multires, multires_views,
                     use_semantics, sem_with_coord, compute_dtype_name,
-                    bwd_block=None):
+                    bwd_block=None, ipe=False):
     return _fused_forward_pl(ws, bs, pd, depth, skips, multires,
                              multires_views, use_semantics, sem_with_coord,
-                             compute_dtype_name)
+                             compute_dtype_name, ipe=ipe)
 
 
 def _fused_fwd_pl(ws, bs, pd, *static):
-    # static = (..., compute_dtype_name, bwd_block); forward takes neither
-    # bwd_block nor anything after compute_dtype_name.
-    return _fused_forward_pl(ws, bs, pd, *static[:7]), (ws, bs, pd)
+    # static = (depth, skips, multires, multires_views, use_semantics,
+    # sem_with_coord, compute_dtype_name, bwd_block, ipe); the forward takes
+    # everything except bwd_block.
+    return (_fused_forward_pl(ws, bs, pd, *static[:7], ipe=static[8]),
+            (ws, bs, pd))
 
 
 def _fused_bwd_pl(depth, skips, multires, multires_views, use_semantics,
-                  sem_with_coord, compute_dtype_name, bwd_block, residuals, g):
+                  sem_with_coord, compute_dtype_name, bwd_block, ipe,
+                  residuals, g):
     ws, bs, pd = residuals
     dws, dbs = _fused_backward_pl(ws, bs, pd, g, depth, skips, multires,
                                   multires_views, use_semantics,
                                   sem_with_coord, compute_dtype_name,
-                                  block=bwd_block)
+                                  block=bwd_block, ipe=ipe)
     # pd is rays-as-data on every planar call site (field_input_grads=False
     # is a hard precondition checked in fused_field_apply_planar).
     return dws, dbs, jnp.zeros_like(pd)
@@ -979,7 +1037,29 @@ def fused_field_apply_planar(params: Dict[str, Any], pd: jnp.ndarray, cfg,
         tuple(ws), tuple(bs), pd,
         depth, (4,), cfg.multires, cfg.multires_views,
         cfg.use_semantics, cfg.sem_with_coord, cfg.compute_dtype,
-        getattr(cfg, "field_bwd_block", None),
+        getattr(cfg, "field_bwd_block", None), False,
+    )
+
+
+def fused_mip_apply_planar(params: Dict[str, Any], pd: jnp.ndarray, cfg,
+                           depth: Optional[int] = None) -> jnp.ndarray:
+    """Planar fused mip-NeRF field: pd [9, N] (mean, cov_diag, dirs rows) ->
+    raw [4, N] (rgb, sigma-last, matching ``mip_volumetric_render``).
+
+    Integrated PE over diagonal Gaussians computed in-kernel at exact fp32
+    (`_ipe_in_kernel_pl`); same trunk/heads as the classic kernel without the
+    semantic branch. Requires ``field_input_grads=False``.
+    """
+    if getattr(cfg, "field_input_grads", False):
+        raise ValueError("planar fused mip field does not compute input grads")
+    mlp = params["mlp"]
+    depth = cfg.netdepth if depth is None else depth
+    ws, bs = _flatten_mlp_params(mlp, depth, False)
+    return _fused_apply_pl(
+        tuple(ws), tuple(bs), pd,
+        depth, (4,), cfg.multires, cfg.multires_views,
+        False, False, cfg.compute_dtype,
+        getattr(cfg, "field_bwd_block", None), True,
     )
 
 

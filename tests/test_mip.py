@@ -105,3 +105,68 @@ def test_mip_eval_deterministic(mip_net, key):
     a = net(params, rays, (1.0, 4.0), radii=0.01, key=jax.random.PRNGKey(1))
     b = net(params, rays, (1.0, 4.0), radii=0.01, key=jax.random.PRNGKey(2))
     np.testing.assert_allclose(np.array(a["rgb"]), np.array(b["rgb"]), atol=0)
+
+
+# ---------------------------------------------------------------- planar
+
+
+def test_cast_rays_planar_matches_cast_rays(key):
+    from nerfsos_tpu.models.mip import cast_rays_planar
+
+    R, S = 11, 6
+    ks = jax.random.split(key, 3)
+    z = jnp.sort(jax.random.uniform(ks[0], (R, S + 1)) * 4 + 1, axis=-1)
+    o = jax.random.normal(ks[1], (R, 3))
+    d = jax.random.normal(ks[2], (R, 3))
+    v = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    radii = jnp.full((R, 1), 0.01)
+    for shape in ("cone", "cylinder"):
+        means, covs = cast_rays(z, o, d, radii, shape)
+        pd = cast_rays_planar(z, o, d, radii, v, shape)
+        np.testing.assert_allclose(
+            np.array(pd[0:3]).reshape(3, R, S),
+            np.array(means).transpose(2, 0, 1), rtol=1e-6, err_msg=shape)
+        np.testing.assert_allclose(
+            np.array(pd[3:6]).reshape(3, R, S),
+            np.array(covs).transpose(2, 0, 1), rtol=1e-5, atol=1e-10,
+            err_msg=shape)
+        np.testing.assert_allclose(
+            np.array(pd[6:9]).reshape(3, R, S),
+            np.broadcast_to(np.array(v).T[:, :, None], (3, R, S)), rtol=1e-6)
+
+
+def test_mip_planar_render_matches_xla(mip_net, key):
+    """fused_field=True routes mip through the planar IPE kernel (interpret
+    on CPU); outputs must match the XLA field end-to-end."""
+    import dataclasses
+
+    net, params = mip_net
+    pl_net = MipNeRFNet(dataclasses.replace(net.cfg, fused_field=True))
+    rays = jax.random.normal(key, (2, 33, 3))
+    a = net(params, rays, (1.0, 4.0), radii=0.001, key=jax.random.PRNGKey(2))
+    b = pl_net(params, rays, (1.0, 4.0), radii=0.001, key=jax.random.PRNGKey(2))
+    for k in ("rgb", "acc", "depth", "rgb0"):
+        np.testing.assert_allclose(np.array(a[k]), np.array(b[k]), atol=2e-5,
+                                   err_msg=k)
+
+
+def test_mip_planar_grads_match_xla(mip_net, key):
+    import dataclasses
+
+    net, params = mip_net
+    pl_net = MipNeRFNet(dataclasses.replace(net.cfg, fused_field=True))
+    rays = jax.random.normal(key, (2, 9, 3))
+    tgt = jax.random.uniform(jax.random.PRNGKey(7), (9, 3))
+
+    def loss(n, p):
+        out = n(p, rays, (1.0, 4.0), 0.001, key=jax.random.PRNGKey(2))
+        return jnp.mean((out["rgb"] - tgt) ** 2) + jnp.mean((out["rgb0"] - tgt) ** 2)
+
+    ga = jax.grad(lambda p: loss(net, p))(params)
+    gb = jax.grad(lambda p: loss(pl_net, p))(params)
+    for (path, a), (_, b) in zip(jax.tree_util.tree_flatten_with_path(ga)[0],
+                                 jax.tree_util.tree_flatten_with_path(gb)[0]):
+        denom = np.abs(np.array(a)).max() + 1e-9
+        np.testing.assert_array_less(
+            np.abs(np.array(a) - np.array(b)).max() / denom, 3e-5,
+            err_msg=jax.tree_util.keystr(path))
