@@ -14,6 +14,8 @@ from typing import Dict, Optional
 import jax
 import jax.numpy as jnp
 
+from nerfsos_tpu.core.scan_ops import cumprod_last
+
 
 def exclusive_cumprod_1m(alpha: jnp.ndarray) -> jnp.ndarray:
     """Transmittance T_i = prod_{j<i} (1 - alpha_j + 1e-10) (exclusive).
@@ -23,7 +25,9 @@ def exclusive_cumprod_1m(alpha: jnp.ndarray) -> jnp.ndarray:
     shifted = jnp.concatenate(
         [jnp.ones_like(alpha[..., :1]), 1.0 - alpha[..., :-1] + 1e-10], axis=-1
     )
-    return jnp.cumprod(shifted, axis=-1)
+    # TPU: jnp.cumprod lowers to a while loop (~ms at [65536,192]); the
+    # doubling scan in scan_ops is loop-free (CPU keeps jnp.cumprod).
+    return cumprod_last(shifted)
 
 
 def sigma_to_weights(

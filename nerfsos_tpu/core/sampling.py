@@ -16,6 +16,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from nerfsos_tpu.core.scan_ops import cumsum_last
+
 
 def stratified_sample(
     key: jax.Array | None,
@@ -97,7 +99,7 @@ def sample_pdf(
     """
     weights = weights + 1e-5
     pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
-    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = cumsum_last(pdf)  # TPU: loop-free doubling scan (scan_ops)
     cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # [..., B]
 
     u_shape = cdf.shape[:-1] + (n_importance,)

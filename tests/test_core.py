@@ -276,3 +276,20 @@ def test_sorted_uniform_is_sorted_and_uniform(key):
     # marginal of all order stats pooled ~ U(0,1): mean ~0.5, var ~1/12
     np.testing.assert_allclose(u.mean(), 0.5, atol=0.01)
     np.testing.assert_allclose(u.var(), 1.0 / 12, atol=0.01)
+
+
+def test_doubling_scans_match_numpy(rng):
+    """The TPU loop-free scans (scan_ops) vs numpy sequential scans — these
+    run on TPU only (the backend gate keeps jnp originals on CPU), so test
+    the doubling implementation directly."""
+    from nerfsos_tpu.core.scan_ops import _doubling_scan
+
+    for S in (1, 2, 7, 64, 192):
+        x = rng.random((4, S)).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(_doubling_scan(jnp.asarray(x), jnp.add, 0.0)),
+            np.cumsum(x, -1), rtol=3e-6, err_msg=f"cumsum S={S}")
+        xp = (x * 0.01 + 0.99).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(_doubling_scan(jnp.asarray(xp), jnp.multiply, 1.0)),
+            np.cumprod(xp, -1), rtol=3e-6, err_msg=f"cumprod S={S}")
