@@ -140,7 +140,7 @@ def bench_sos() -> float:
     cfg = NeRFConfig(
         n_samples=64, n_importance=128, use_semantics=True, sem_with_coord=True,
         ray_block=N, remat=False, compute_dtype="bfloat16", fused_field=True,
-        field_bwd_block=512,  # the SOS program's VMEM headroom (run_nerf.py)
+        field_bwd_block=768,  # largest SOS-compatible bwd block (run_nerf.py)
     )
     net = NeRFNet(cfg)
     params = net.init(jax.random.PRNGKey(0))

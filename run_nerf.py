@@ -199,9 +199,10 @@ def build_model(args):
         if supports_fused(cfg):
             import dataclasses as _dc
 
-            # SOS programs carry extra operands that push the fused backward's
-            # VMEM stack over at the default block 1024; 512 fits everywhere.
-            bwd_block = 512 if args.patch_tune else None
+            # SOS programs carry extra operands that push the fused backward
+            # over the compiler's limit at the default block 1024; 768 is the
+            # largest that compiles (355 -> 342 ms/step measured on v5e).
+            bwd_block = 768 if args.patch_tune else None
             cfg = _dc.replace(cfg, fused_field=True, remat=False,
                               field_bwd_block=bwd_block)
     return NeRFNet(cfg), cfg
