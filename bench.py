@@ -37,6 +37,61 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+# ---------------------------------------------------------------- FLOP model
+# Useful (unpadded) matmul FLOPs per field query, from the flagship dims —
+# the arithmetic of ROUND2_NOTES' MFU analysis, emitted per-mode in the bench
+# JSON so the driver tracks the hard number (VERDICT r2 #7).
+
+
+def _mlp_flops(in_dim: int, width: int = 256, depth: int = 8,
+               views_dim: int = 27, use_semantics: bool = True,
+               sem_coord: bool = True) -> int:
+    """MACs*2 of one point through trunk+heads (skip at 4, sem_layer 2)."""
+    macs = in_dim * width                      # layer 0
+    macs += (depth - 2) * width * width        # plain trunk layers
+    macs += (width + in_dim) * width           # post-skip layer (input 319)
+    macs += width                              # alpha head
+    macs += width * width                      # feature head
+    macs += (width + views_dim) * (width // 2)  # views layer
+    macs += (width // 2) * 3                   # rgb head
+    if use_semantics:
+        sem_in = width + (in_dim if sem_coord else 0)
+        macs += sem_in * (width // 2) + (width // 2) * 2
+    return 2 * macs
+
+
+def _sigma_flops(in_dim: int, width: int = 256, depth: int = 8) -> int:
+    macs = in_dim * width + (depth - 2) * width * width + (width + in_dim) * width
+    return 2 * (macs + width)
+
+
+# flagship: PE in 63 (classic), IPE in 60 (mip); 64 coarse + 192 fine samples
+FLOPS_PER_RAY = {
+    # eval render: sigma-only coarse + full fine
+    "render_eval": 64 * _sigma_flops(63) + 192 * _mlp_flops(63),
+    # full-parity render: full coarse + full fine
+    "render_full": 256 * _mlp_flops(63),
+    # train fwd+bwd ~ 3x the forward matmul FLOPs (dW + dx per matmul)
+    "train": 3 * 256 * _mlp_flops(63),
+    # mip: 63 coarse + 190 fine gaussians, no semantic head, IPE in 60
+    "mip_render": (63 + 190) * _mlp_flops(60, use_semantics=False),
+}
+
+
+def bench_matmul_ceiling() -> float:
+    """Achievable bf16 MXU rate on this chip: big square dots, fp32 accum —
+    the denominator for the per-mode MFU numbers."""
+    best = 0.0
+    for n in (4096, 8192):
+        a = jnp.ones((n, n), jnp.bfloat16)
+        b = jnp.ones((n, n), jnp.bfloat16)
+        f = jax.jit(lambda x, y: jnp.dot(x, y, preferred_element_type=jnp.float32))
+        dt = time_fn(f, a, b, iters=8, warmup=2)
+        best = max(best, 2 * n**3 / dt)
+    log(f"matmul ceiling: {best/1e12:.1f} TFLOPs bf16")
+    return best
+
+
 def time_fn(fn, *args, iters=6, warmup=2):
     def run(n):
         acc = 0.0
@@ -194,6 +249,18 @@ def main():
     except Exception:
         log(f"mip bench failed:\n{traceback.format_exc(limit=2)}")
 
+    ceiling = 0.0
+    try:
+        ceiling = bench_matmul_ceiling()
+    except Exception:
+        log(f"ceiling bench failed:\n{traceback.format_exc(limit=2)}")
+
+    def mfu(rps, mode):
+        """Useful model FLOPs per second / measured matmul ceiling."""
+        if not (rps and ceiling):
+            return None
+        return round(rps * FLOPS_PER_RAY[mode] / ceiling, 3)
+
     print(json.dumps({
         "metric": "flower_flagship_render_rays_per_sec_per_chip",
         "value": round(render_rps, 1),
@@ -203,6 +270,11 @@ def main():
         "train_rays_per_sec": round(train_rps, 1),
         "sos_train_rays_per_sec": round(sos_rps, 1),
         "mip_render_rays_per_sec": round(mip_rps, 1),
+        "matmul_ceiling_tflops": round(ceiling / 1e12, 1),
+        "render_eval_mfu": mfu(render_rps, "render_eval"),
+        "render_full_mfu": mfu(render_full_rps, "render_full"),
+        "train_mfu": mfu(train_rps, "train"),
+        "mip_render_mfu": mfu(mip_rps, "mip_render"),
     }))
 
 

@@ -128,6 +128,13 @@ class MipNeRFNet:
     """Stateless mip-NeRF renderer; coarse/fine share parameters."""
 
     def __init__(self, cfg: NeRFConfig, ray_shape: str = "cone"):
+        if cfg.use_semantics:
+            # Parity: the reference forces semantics off under --mipnerf
+            # (run_nerf.py does the same); MipNeRFField has no semantic head
+            # and the planar mip kernel reshapes raw to 4 channels — a
+            # semantic config would be silently wrong, so fail loudly.
+            raise ValueError("MipNeRFNet does not support use_semantics; "
+                             "construct with use_semantics=False")
         self.cfg = cfg
         self.ray_shape = ray_shape
         self.field = MipNeRFField(
@@ -148,11 +155,17 @@ class MipNeRFNet:
 
     def _planar_ok(self, viewdirs) -> bool:
         """Fused planar mip kernel applies: same preconditions as the classic
-        planar path (see models/nerf.py `_planar_ok`)."""
+        planar path (see models/nerf.py `_planar_ok`), delegated to
+        `supports_fused` so new fused-kernel preconditions apply here too.
+        The mip kernel additionally has NO semantic branch (it reshapes raw to
+        4 channels) — semantics is rejected at construction."""
         cfg = self.cfg
-        return (cfg.fused_field and cfg.use_viewdirs and viewdirs is not None
-                and cfg.use_embed and not cfg.conv_embed
-                and not cfg.field_input_grads)
+        if not (cfg.fused_field and cfg.use_viewdirs and viewdirs is not None
+                and not cfg.field_input_grads):
+            return False
+        from nerfsos_tpu.ops.pallas.fused_field import supports_fused
+
+        return supports_fused(cfg)
 
     def _field_pass(self, params, z_vals, rays_o, rays_d, viewdirs, radii, planar):
         """One field evaluation over the fenceposts; returns (raw, cf)."""

