@@ -79,17 +79,25 @@ FLOPS_PER_RAY = {
 
 
 def bench_matmul_ceiling() -> float:
-    """Achievable bf16 MXU rate on this chip: big square dots, fp32 accum —
-    the denominator for the per-mode MFU numbers."""
-    best = 0.0
-    for n in (4096, 8192):
-        a = jnp.ones((n, n), jnp.bfloat16)
-        b = jnp.ones((n, n), jnp.bfloat16)
-        f = jax.jit(lambda x, y: jnp.dot(x, y, preferred_element_type=jnp.float32))
-        dt = time_fn(f, a, b, iters=8, warmup=2)
-        best = max(best, 2 * n**3 / dt)
-    log(f"matmul ceiling: {best/1e12:.1f} TFLOPs bf16")
-    return best
+    """Achievable bf16 MXU rate on this chip: CHAINED big square dots inside
+    one jit (a single dot is dominated by the tunnel's ~4 ms dispatch floor)
+    — the denominator for the per-mode MFU numbers."""
+    n, reps = 8192, 12
+    # 1/n entries: each product row-sum is n*(1/n^2) = 1/n — a fixed point,
+    # so the chained values neither overflow nor denormalize in bf16.
+    a = jnp.full((n, n), 1.0 / n, jnp.bfloat16)
+    b = jnp.full((n, n), 1.0 / n, jnp.bfloat16)
+
+    @jax.jit
+    def chain(x, y):
+        for _ in range(reps):
+            x = jnp.dot(x, y, preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+        return x[:1, :1]
+
+    dt = time_fn(chain, a, b, iters=6, warmup=2)
+    rate = reps * 2 * n**3 / dt
+    log(f"matmul ceiling: {rate/1e12:.1f} TFLOPs bf16 (chained {reps}x{n})")
+    return rate
 
 
 def time_fn(fn, *args, iters=6, warmup=2):

@@ -221,6 +221,52 @@ class NeRFNet:
         )
         planar = self._planar_ok(viewdirs, retraw, retpts)
         sigma_only = not coarse_outputs and n_importance > 0 and not retraw
+        # Fully-fused eval render: field + volumetric composite in ONE kernel
+        # per pass (ops/pallas/fused_render.py) — no [C, N] streams or layout
+        # relayouts touch HBM. Engages only on the eval path (no coarse
+        # outputs, no noise); training keeps the differentiable route.
+        if planar and sigma_only and raw_noise_std == 0.0:
+            from nerfsos_tpu.ops.pallas import fused_render as fr
+
+            od = jnp.concatenate([rays_o, rays_d], axis=1)            # [R, 6]
+            weights = fr.fused_coarse_weights_planar(
+                params["coarse"], od, z_vals, cfg, depth=cfg.netdepth)
+            z_all, z_samples = sampling.importance_sample(
+                k_imp, z_vals, weights, n_importance, det=(perturb == 0.0))
+            fine = "fine" if self.fine is not None else "coarse"
+            maps, w_fine = fr.fused_render_planar(
+                params[fine], jnp.concatenate([od, viewdirs], axis=1),
+                z_all, cfg,
+                depth=cfg.netdepth_fine if fine == "fine" else cfg.netdepth)
+            ret = fr.finish_maps(maps, w_fine, cfg.use_semantics, cfg.white_bkgd)
+            ret["z_std"] = jnp.std(z_samples, axis=-1)
+            return ret
+        # Fused TRAIN render (coarse outputs kept): same single-kernel-per-
+        # pass structure with a fused backward (custom_vjp accumulates dW/db
+        # in-kernel; odv/z get exact-zero cotangents — rays are data, the
+        # importance z is detached). In-kernel pre-relu noise when
+        # raw_noise_std > 0 (hash-counter draws; reference contract is the
+        # N(0,std) distribution, not torch's stream).
+        if planar and coarse_outputs and n_importance > 0:
+            from nerfsos_tpu.ops.pallas import fused_render as fr
+
+            odv = jnp.concatenate([rays_o, rays_d, viewdirs], axis=1)  # [R,9]
+            maps0, w0 = fr.fused_train_render_planar(
+                params["coarse"], odv, z_vals, cfg, depth=cfg.netdepth,
+                noise_std=raw_noise_std, noise_key=k_noise_c)
+            ret0 = fr.finish_maps(maps0, w0, cfg.use_semantics, cfg.white_bkgd)
+            z_all, z_samples = sampling.importance_sample(
+                k_imp, z_vals, w0, n_importance, det=(perturb == 0.0))
+            fine = "fine" if self.fine is not None else "coarse"
+            maps, w_fine = fr.fused_train_render_planar(
+                params[fine], odv, z_all, cfg,
+                depth=cfg.netdepth_fine if fine == "fine" else cfg.netdepth,
+                noise_std=raw_noise_std, noise_key=k_noise_f)
+            ret = fr.finish_maps(maps, w_fine, cfg.use_semantics, cfg.white_bkgd)
+            ret["z_std"] = jnp.std(z_samples, axis=-1)
+            for k, v in ret0.items():
+                ret[k + "0"] = v
+            return ret
         if sigma_only:
             if planar:
                 from nerfsos_tpu.ops.pallas.fused_field import fused_sigma_apply_planar

@@ -1,0 +1,800 @@
+"""Pallas TPU kernels: fully-fused eval render (field + volumetric composite).
+
+Round-2 shipped the planar field kernels ([C, N] IO, points on lanes) with the
+compositing left to XLA. A profiler trace of the 65536-ray eval render
+(2026-08-17, tools/perf_r3_baseline.py) showed the price: ~40 ms of the
+181 ms step was XLA *layout conversion* — `while`-loop relayouts between the
+row-major ray world ([R,S] / [N,3]) and the planar kernel streams
+(three [3, 12.58M] input transposes at ~4.4 ms each, plus the [6,N] -> [6,R,S]
+raw-output reshape at ~8 ms), not math.
+
+These kernels delete that interface entirely: each grid step takes one block
+of R_blk RAYS (per-ray origins/dirs/viewdirs [9, R_blk] and z-values
+[R_blk, S]), builds the sample points IN KERNEL, runs the planar MLP, and
+composites to per-ray maps in VMEM. HBM traffic drops from ~700 MB
+(planar streams + relayouts) to z in (50 MB) + weights out (50 MB) + maps.
+
+The toolchain cannot reshape between lane- and sublane-major layouts inside a
+kernel (plain `[R_blk,S] <-> [1, R_blk*S]` reshapes crash the remote compiler
+— probed 2026-08-17), so everything stays on the LANE axis, using only the
+primitives validated on-chip by ``tools/probe_lane_ops.py``:
+
+- segment id / sample id from ``broadcasted_iota`` (+ mod/div by static S);
+- per-ray -> per-point broadcast via R_blk unrolled masked multiply-adds
+  (exact fp32 — these feed the PE trig, so no MXU rounding is allowed);
+- z rows -> lanes via unaligned lane-slice concat; weights back via
+  per-row unaligned lane-slice stores;
+- transmittance = segmented exclusive cumprod: log2(S) masked doubling
+  shifts (the in-kernel twin of core/scan_ops.cumprod_last);
+- per-ray sums = one [C, N] x [N, R_blk] one-hot dot (Mosaic f32 dots are
+  exact — unlike XLA's default-precision matmul there is no bf16 rounding).
+
+Parity: the composite math is ``core/render.volumetric_render`` exactly
+(reference ``models/renderer.py:21-85``): +1e-10 transmittance floor, 1e10
+far-padding of dists, |d| scaling, vacancy-depth + disp computed OUTSIDE on
+the tiny per-ray maps. Eval-only (raw_noise_std == 0; no VJP) — training
+keeps the composite-outside path.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nerfsos_tpu.ops.pallas.fused_field import (
+    _flatten_mlp_params,
+    _mm_pl,
+    _pe_consts_pl,
+    _pe_in_kernel_pl,
+)
+
+# Rays per grid step (N_blk = RAY_BLOCK * S points through the MLP per step).
+# 8 keeps N_blk at 1536/512 for the fine/coarse flagship shapes — inside the
+# remote compiler's known-good envelope (flat-block ceiling was 2048).
+RAY_BLOCK: Optional[int] = None
+_DEF_RAY_BLOCK = 8
+
+
+def _seg_ids(n: int, s: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(ray id, sample id) per lane for N = R_blk * S ray-major points."""
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    return pos // s, pos % s
+
+
+def _rows_to_lanes(ref, r_blk: int, s: int) -> jnp.ndarray:
+    """[R_blk, S] VMEM block -> [1, R_blk*S] lanes (ray-major)."""
+    return jnp.concatenate([ref[r:r + 1, :] for r in range(r_blk)], axis=1)
+
+
+def _seg_broadcast(ref, rid: jnp.ndarray, r_blk: int, n_ch: int) -> jnp.ndarray:
+    """[R_blk, C] per-ray VMEM block -> [C, N] per-point, exact fp32 masked
+    adds (these feed the PE phases, so no rounding is allowed).
+
+    NOT an MXU one-hot dot: the [R_blk,C]^T[R_blk,N] dot_general form
+    MISCOMPILES on this toolchain (fixed-z parity 0.7-1.0 rel on-chip while
+    CPU interpret passes — probed 2026-08-17; the probe-validated #7 form has
+    the contraction on the minor dim instead). The madd form is ~0.9 us per
+    1536-pt block on 1-of-8-sublane [1, N] vectors — acceptable."""
+    masks = [jnp.where(rid == r, 1.0, 0.0) for r in range(r_blk)]
+    rows = []
+    for c in range(n_ch):
+        acc = jnp.zeros_like(rid, jnp.float32)
+        for r in range(r_blk):
+            acc = acc + masks[r] * ref[r:r + 1, c:c + 1].astype(jnp.float32)
+        rows.append(acc)
+    return jnp.concatenate(rows, axis=0)
+
+
+def _seg_cumprod_excl(x: jnp.ndarray, sid: jnp.ndarray, s: int) -> jnp.ndarray:
+    """Per-segment EXCLUSIVE product along lanes (first element 1).
+
+    Formulation validated on-chip by tools/probe_lane_ops.py: seed with the
+    right-shifted sequence (segment heads reset to the identity), then
+    Hillis-Steele doubling with a same-segment mask.
+    """
+    one = jnp.ones((1, 1), x.dtype)
+    v = jnp.where(sid >= 1,
+                  jnp.concatenate([one, x[:, :-1]], axis=1), 1.0)
+    k = 1
+    while k < s:
+        sh = jnp.concatenate([jnp.ones((1, k), x.dtype), v[:, :-k]], axis=1)
+        v = v * jnp.where(sid >= k + 1, sh, 1.0)
+        k *= 2
+    return v
+
+
+def _weights_from_sigma(sigma, z_flat, d3, sid, s: int):
+    """Quadrature weights on the lane axis (math of render.sigma_to_weights).
+
+    Delegates to _composite_lane so the eval and train kernels are BIT-equal
+    (an earlier `1 - alpha + 1e-10` here differed from the train kernel's
+    `e + 1e-10` by one ulp and broke the fine-maps bit-equality contract).
+    """
+    _, _, _, w, _, _ = _composite_lane(sigma, z_flat, d3, sid, s)
+    return w
+
+
+def _store_rows(out_ref, flat: jnp.ndarray, r_blk: int, s: int) -> None:
+    """[1, R_blk*S] lanes -> [R_blk, S] VMEM block (per-row lane slices)."""
+    for r in range(r_blk):
+        out_ref[r, :] = flat[0, r * s:(r + 1) * s]
+
+
+def _mlp_trunk(emb, w_refs, b_refs, it, depth, skips, cd):
+    h = emb
+    for i in range(depth):
+        k = next(it)
+        h = jnp.maximum(_mm_pl(h, w_refs[k][:], b_refs[k][:]), 0.0).astype(cd)
+        if i in skips:
+            h = jnp.concatenate([emb, h], axis=0)
+    return h
+
+
+def _render_kernel(
+    odv_ref, z_ref, mt_pts_ref, ph_pts_ref, mt_dirs_ref, ph_dirs_ref, *refs,
+    depth: int, skips: Tuple[int, ...], use_semantics: bool,
+    sem_with_coord: bool, compute_dtype, r_blk: int, s: int,
+):
+    """One ray block: build points -> planar MLP -> composite -> maps.
+
+    Outputs: maps [R_blk, 5 + sem_dim] columns = (w·sigmoid(rgb) x3, w·z,
+    w(=acc) [, w·sem x sem_dim]) and weights [R_blk, S].
+    """
+    n_w = depth + 4 + (2 if use_semantics else 0)
+    w_refs = refs[:n_w]
+    b_refs = refs[n_w:2 * n_w]
+    maps_ref, wout_ref = refs[2 * n_w], refs[2 * n_w + 1]
+    cd = compute_dtype
+    n = r_blk * s
+
+    rid, sid = _seg_ids(n, s)
+    odv = _seg_broadcast(odv_ref, rid, r_blk, 9)  # [9, N]
+    z_flat = _rows_to_lanes(z_ref, r_blk, s).astype(jnp.float32)      # [1, N]
+    d3 = odv[3:6]
+    pts = odv[0:3] + d3 * z_flat
+
+    emb = _pe_in_kernel_pl(pts, mt_pts_ref[:], ph_pts_ref[:]).astype(cd)
+    it = iter(range(n_w))
+    h = _mlp_trunk(emb, w_refs, b_refs, it, depth, skips, cd)
+
+    k_alpha, k_feat, k_views, k_rgb = next(it), next(it), next(it), next(it)
+    sigma = _mm_pl(h, w_refs[k_alpha][:], b_refs[k_alpha][:])  # [1, N] fp32
+
+    sem = None
+    if use_semantics:
+        k_s0, k_s1 = next(it), next(it)
+        sem_in = jnp.concatenate([h, emb], axis=0) if sem_with_coord else h
+        sl = jnp.maximum(_mm_pl(sem_in, w_refs[k_s0][:], b_refs[k_s0][:]), 0.0).astype(cd)
+        sem = _mm_pl(sl, w_refs[k_s1][:], b_refs[k_s1][:])  # [sem, N] fp32
+
+    demb = _pe_in_kernel_pl(odv[6:9], mt_dirs_ref[:], ph_dirs_ref[:]).astype(cd)
+    feat = _mm_pl(h, w_refs[k_feat][:], b_refs[k_feat][:]).astype(cd)
+    hv = jnp.maximum(_mm_pl(jnp.concatenate([feat, demb], axis=0),
+                            w_refs[k_views][:], b_refs[k_views][:]), 0.0).astype(cd)
+    rgb_logits = _mm_pl(hv, w_refs[k_rgb][:], b_refs[k_rgb][:])  # [3, N] fp32
+
+    # ---- composite (all fp32 VPU) ----------------------------------------
+    w = _weights_from_sigma(sigma, z_flat, d3, sid, s)  # [1, N]
+    rgb = jax.nn.sigmoid(rgb_logits)
+    rows = [w * rgb, w * z_flat, w]
+    if use_semantics:
+        rows.append(w * sem.astype(jnp.float32))
+    vals = jnp.concatenate(rows, axis=0)  # [5 + sem, N]
+
+    seg = (jax.lax.broadcasted_iota(jnp.int32, (n, r_blk), 0) // s
+           == jax.lax.broadcasted_iota(jnp.int32, (n, r_blk), 1)
+           ).astype(jnp.float32)
+    # maps as [R_blk, C] directly (transposed contraction — a [C, R_blk]
+    # output block would have a non-128-divisible lane dim). Mosaic f32 x f32
+    # dots are exact (no XLA default-precision bf16 rounding).
+    maps_ref[:] = jax.lax.dot_general(seg, vals, (((0,), (1,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+    _store_rows(wout_ref, w, r_blk, s)
+
+
+def _sigma_weights_kernel(
+    od_ref, z_ref, mt_pts_ref, ph_pts_ref, *refs,
+    depth: int, skips: Tuple[int, ...], compute_dtype, r_blk: int, s: int,
+):
+    """Coarse pass for eval: density trunk only -> quadrature weights block.
+
+    Replaces fused_sigma_apply + XLA sigma_to_weights: the [3, N] point
+    stream, the sigma round-trip, and their relayouts never touch HBM.
+    """
+    n_w = depth + 1
+    w_refs = refs[:n_w]
+    b_refs = refs[n_w:2 * n_w]
+    wout_ref = refs[2 * n_w]
+    cd = compute_dtype
+    n = r_blk * s
+
+    rid, sid = _seg_ids(n, s)
+    od = _seg_broadcast(od_ref, rid, r_blk, 6)  # [6, N]
+    z_flat = _rows_to_lanes(z_ref, r_blk, s).astype(jnp.float32)
+    d3 = od[3:6]
+    pts = od[0:3] + d3 * z_flat
+
+    emb = _pe_in_kernel_pl(pts, mt_pts_ref[:], ph_pts_ref[:]).astype(cd)
+    h = emb
+    for i in range(depth):
+        h = jnp.maximum(_mm_pl(h, w_refs[i][:], b_refs[i][:]), 0.0).astype(cd)
+        if i in skips:
+            h = jnp.concatenate([emb, h], axis=0)
+    sigma = _mm_pl(h, w_refs[depth][:], b_refs[depth][:])  # [1, N] fp32
+
+    w = _weights_from_sigma(sigma, z_flat, d3, sid, s)
+    _store_rows(wout_ref, w, r_blk, s)
+
+
+def _pad_rays(arrs_rows, z, r_blk):
+    """Pad ray count to a multiple of r_blk (edge-ray replication)."""
+    R = z.shape[0]
+    pad = (-R) % r_blk
+    if pad:
+        arrs_rows = [jnp.concatenate(
+            [a, jnp.broadcast_to(a[-1:], (pad,) + a.shape[1:])], axis=0)
+            for a in arrs_rows]
+        z = jnp.concatenate([z, jnp.broadcast_to(z[-1:], (pad,) + z.shape[1:])], 0)
+    return arrs_rows, z, R, pad
+
+
+def fused_render_planar(params: Dict[str, Any], odv: jnp.ndarray,
+                        z_vals: jnp.ndarray, cfg, depth: Optional[int] = None,
+                        interpret: Optional[bool] = None
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused field+composite render of one pass.
+
+    Args:
+      odv:    [R, 9] columns = rays_o, rays_d (unnormalized), viewdirs
+              (rays on sublanes: a 9-lane column block is legal, an
+              R_blk-lane one is not).
+      z_vals: [R, S] sample depths (sorted per ray).
+    Returns:
+      (maps [R, 5 + sem_dim] — w·sigmoid(rgb) x3, w·z, acc [, w·sem...];
+       weights [R, S]).
+    Eval-only: no VJP, raw_noise_std must be 0 at the call site.
+    """
+    mlp = params["mlp"]
+    depth = cfg.netdepth if depth is None else depth
+    ws, bs = _flatten_mlp_params(mlp, depth, cfg.use_semantics)
+    compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    r_blk = RAY_BLOCK or _DEF_RAY_BLOCK
+    S = z_vals.shape[-1]
+    (odv,), z_vals, R, pad = _pad_rays([odv], z_vals, r_blk)
+    n_blocks = z_vals.shape[0] // r_blk
+
+    ws = tuple(w.astype(compute_dtype) for w in ws)
+    bs_col = tuple(b.astype(jnp.float32).reshape(-1, 1) for b in bs)
+    pe_args = _pe_consts_pl(cfg.multires, cfg.multires_views)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    n_maps = 5 + (ws[-1].shape[-1] if cfg.use_semantics else 0)
+    full = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
+                                    memory_space=pltpu.VMEM)
+    maps, weights = pl.pallas_call(
+        functools.partial(
+            _render_kernel, depth=depth, skips=(4,),
+            use_semantics=cfg.use_semantics, sem_with_coord=cfg.sem_with_coord,
+            compute_dtype=compute_dtype, r_blk=r_blk, s=S),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((r_blk, 9), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_blk, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            *[full(a) for a in pe_args],
+            *[full(w) for w in ws],
+            *[full(b) for b in bs_col],
+        ],
+        out_specs=[
+            pl.BlockSpec((r_blk, n_maps), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_blk, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_blocks * r_blk, n_maps), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks * r_blk, S), jnp.float32),
+        ],
+        interpret=interpret,
+    )(odv, z_vals, *pe_args, *ws, *bs_col)
+    if pad:
+        maps, weights = maps[:R], weights[:R]
+    return maps, weights
+
+
+def fused_coarse_weights_planar(params: Dict[str, Any], od: jnp.ndarray,
+                                z_vals: jnp.ndarray, cfg,
+                                depth: Optional[int] = None,
+                                interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Coarse eval pass: od [R, 6] (o, d columns), z [R, S] -> weights [R, S]."""
+    mlp = params["mlp"]
+    depth = cfg.netdepth if depth is None else depth
+    names = [f"pts_linears_{i}" for i in range(depth)] + ["alpha_linear"]
+    ws = tuple(mlp[n]["kernel"] for n in names)
+    bs = tuple(mlp[n]["bias"] for n in names)
+    compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    r_blk = RAY_BLOCK or _DEF_RAY_BLOCK
+    S = z_vals.shape[-1]
+    (od,), z_vals, R, pad = _pad_rays([od], z_vals, r_blk)
+    n_blocks = z_vals.shape[0] // r_blk
+
+    ws = tuple(w.astype(compute_dtype) for w in ws)
+    bs_col = tuple(b.astype(jnp.float32).reshape(-1, 1) for b in bs)
+    pe_args = _pe_consts_pl(cfg.multires)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    full = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
+                                    memory_space=pltpu.VMEM)
+    weights = pl.pallas_call(
+        functools.partial(
+            _sigma_weights_kernel, depth=depth, skips=(4,),
+            compute_dtype=compute_dtype, r_blk=r_blk, s=S),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((r_blk, 6), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_blk, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            *[full(a) for a in pe_args],
+            *[full(w) for w in ws],
+            *[full(b) for b in bs_col],
+        ],
+        out_specs=pl.BlockSpec((r_blk, S), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((z_vals.shape[0], S), jnp.float32),
+        interpret=interpret,
+    )(od, z_vals, *pe_args, *ws, *bs_col)
+    return weights[:R] if pad else weights
+
+
+def finish_maps(maps: jnp.ndarray, weights: jnp.ndarray, use_semantics: bool,
+                white_bkgd: bool) -> Dict[str, jnp.ndarray]:
+    """Per-ray finishing on the tiny [R, C] maps: vacancy depth, disp,
+    white background — the tail of render.volumetric_render."""
+    rgb_map = maps[:, 0:3]
+    depth_map = maps[:, 3:4]
+    acc_map = maps[:, 4:5]
+    depth_map = jnp.where(acc_map <= 1e-10, 1e10, depth_map)
+    disp_map = 1.0 / jnp.maximum(1e-10, depth_map / acc_map)
+    out = dict(rgb=rgb_map, disp=disp_map, acc=acc_map, weights=weights,
+               depth=depth_map)
+    if use_semantics:
+        sem_map = maps[:, 5:]
+        if white_bkgd:
+            sem_map = sem_map + (1.0 - acc_map)
+        out["semantics"] = sem_map
+    if white_bkgd:
+        out["rgb"] = rgb_map + (1.0 - acc_map)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# TRAINING: fused render with a fused backward.
+#
+# custom_vjp over the MLP weights/biases only — odv and z receive exact-zero
+# cotangents, which is correct for every shipped trainer: rays are data and
+# the importance z-values are detached (the same contract as
+# ``fused_field_apply_planar`` / cfg.field_input_grads=False).
+#
+# raw_noise_std: the reference draws torch N(0,1) per sample pre-relu
+# (models/renderer.py:44-46). Here the noise is a counter-based hash
+# (SplitMix-style mixing + Box-Muller) seeded from the step key: identical
+# in the forward and backward kernels by construction (same seed operand,
+# same lane indices), portable between Mosaic and interpret mode. The DRAWS
+# differ from jax.random's threefry — allowed: the reference contract is the
+# distribution, not the stream (torch's stream differs too).
+# ---------------------------------------------------------------------------
+
+TRAIN_RAY_BLOCK: Optional[int] = None
+_DEF_TRAIN_RAY_BLOCK = 8  # block constraint: sublane dim must be 8-divisible
+
+
+def _seg_rev_cumsum_excl(u: jnp.ndarray, sid: jnp.ndarray, s: int) -> jnp.ndarray:
+    """Per-segment reverse EXCLUSIVE sum along lanes: out_j = sum_{n>j} u_n
+    (within the segment; last element 0). Mirror of _seg_cumprod_excl."""
+    zero = jnp.zeros((1, 1), u.dtype)
+    v = jnp.where(sid <= s - 2,
+                  jnp.concatenate([u[:, 1:], zero], axis=1), 0.0)
+    k = 1
+    while k < s:
+        sh = jnp.concatenate([v[:, k:], jnp.zeros((1, k), u.dtype)], axis=1)
+        v = v + jnp.where(sid <= s - 2 - k, sh, 0.0)
+        k *= 2
+    return v
+
+
+def _mix32(x: jnp.ndarray) -> jnp.ndarray:
+    """SplitMix32-style avalanche on uint32 lanes."""
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    return x
+
+
+def _noise_lanes(seed_f32, pid, n: int, std: float) -> jnp.ndarray:
+    """Deterministic N(0, std) per GLOBAL lane via hash + Box-Muller.
+
+    seed_f32: SMEM scalar (f32 carrying an integer — f32 so the custom_vjp
+    cotangent is an ordinary zero, not a float0)."""
+    idx = jax.lax.broadcasted_iota(jnp.uint32, (1, n), 1)
+    base = seed_f32.astype(jnp.uint32) + pid.astype(jnp.uint32) * jnp.uint32(n)
+    h1 = _mix32((idx + base) * jnp.uint32(2654435761))
+    h2 = _mix32(h1 + jnp.uint32(0x9E3779B9))
+    u1 = (h1 >> 8).astype(jnp.float32) * (2.0 ** -24)  # [0, 1)
+    u2 = (h2 >> 8).astype(jnp.float32) * (2.0 ** -24)
+    r = jnp.sqrt(-2.0 * jnp.log1p(-u1))  # log1p: exact near u1=0
+    return (std * r) * jnp.cos((2.0 * 3.14159265358979) * u2)
+
+
+def _composite_lane(sigma, z_flat, d3, sid, s: int):
+    """alpha/y/T/w plus the terms the backward reuses."""
+    z_next = jnp.concatenate([z_flat[:, 1:], jnp.zeros((1, 1), z_flat.dtype)],
+                             axis=1)
+    dists = jnp.where(sid == s - 1, 1e10, z_next - z_flat)
+    norm_d = jnp.sqrt(d3[0:1] ** 2 + d3[1:2] ** 2 + d3[2:3] ** 2)
+    D = dists * norm_d
+    e = jnp.exp(-jnp.maximum(sigma, 0.0) * D)  # = 1 - alpha
+    alpha = 1.0 - e
+    y = e + 1e-10  # 1 - alpha + 1e-10
+    T = _seg_cumprod_excl(y, sid, s)
+    return alpha, y, T, alpha * T, e, D
+
+
+def _train_render_kernel(
+    odv_ref, z_ref, seed_ref, mt_pts_ref, ph_pts_ref, mt_dirs_ref, ph_dirs_ref,
+    *refs,
+    depth: int, skips: Tuple[int, ...], use_semantics: bool,
+    sem_with_coord: bool, compute_dtype, r_blk: int, s: int, noise_std: float,
+):
+    """Forward of the fused TRAIN render: _render_kernel + pre-relu noise."""
+    n_w = depth + 4 + (2 if use_semantics else 0)
+    w_refs = refs[:n_w]
+    b_refs = refs[n_w:2 * n_w]
+    maps_ref, wout_ref = refs[2 * n_w], refs[2 * n_w + 1]
+    cd = compute_dtype
+    n = r_blk * s
+
+    rid, sid = _seg_ids(n, s)
+    odv = _seg_broadcast(odv_ref, rid, r_blk, 9)
+    z_flat = _rows_to_lanes(z_ref, r_blk, s).astype(jnp.float32)
+    d3 = odv[3:6]
+    pts = odv[0:3] + d3 * z_flat
+
+    emb = _pe_in_kernel_pl(pts, mt_pts_ref[:], ph_pts_ref[:]).astype(cd)
+    it = iter(range(n_w))
+    h = _mlp_trunk(emb, w_refs, b_refs, it, depth, skips, cd)
+
+    k_alpha, k_feat, k_views, k_rgb = next(it), next(it), next(it), next(it)
+    sigma = _mm_pl(h, w_refs[k_alpha][:], b_refs[k_alpha][:])
+    if noise_std > 0.0:
+        sigma = sigma + _noise_lanes(seed_ref[0, 0], pl.program_id(0), n, noise_std)
+
+    sem = None
+    if use_semantics:
+        k_s0, k_s1 = next(it), next(it)
+        sem_in = jnp.concatenate([h, emb], axis=0) if sem_with_coord else h
+        sl = jnp.maximum(_mm_pl(sem_in, w_refs[k_s0][:], b_refs[k_s0][:]), 0.0).astype(cd)
+        sem = _mm_pl(sl, w_refs[k_s1][:], b_refs[k_s1][:])
+
+    demb = _pe_in_kernel_pl(odv[6:9], mt_dirs_ref[:], ph_dirs_ref[:]).astype(cd)
+    feat = _mm_pl(h, w_refs[k_feat][:], b_refs[k_feat][:]).astype(cd)
+    hv = jnp.maximum(_mm_pl(jnp.concatenate([feat, demb], axis=0),
+                            w_refs[k_views][:], b_refs[k_views][:]), 0.0).astype(cd)
+    rgb_logits = _mm_pl(hv, w_refs[k_rgb][:], b_refs[k_rgb][:])
+
+    _, _, _, w, _, _ = _composite_lane(sigma, z_flat, d3, sid, s)
+    rgb = jax.nn.sigmoid(rgb_logits)
+    rows = [w * rgb, w * z_flat, w]
+    if use_semantics:
+        rows.append(w * sem.astype(jnp.float32))
+    vals = jnp.concatenate(rows, axis=0)
+
+    seg = (jax.lax.broadcasted_iota(jnp.int32, (n, r_blk), 0) // s
+           == jax.lax.broadcasted_iota(jnp.int32, (n, r_blk), 1)
+           ).astype(jnp.float32)
+    maps_ref[:] = jax.lax.dot_general(seg, vals, (((0,), (1,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+    _store_rows(wout_ref, w, r_blk, s)
+
+
+def _train_render_bwd_kernel(
+    odv_ref, z_ref, seed_ref, dmaps_ref, dwin_ref,
+    mt_pts_ref, ph_pts_ref, mt_dirs_ref, ph_dirs_ref, *refs,
+    depth: int, skips: Tuple[int, ...], use_semantics: bool,
+    sem_with_coord: bool, compute_dtype, r_blk: int, s: int, noise_std: float,
+):
+    """Backward: recompute forward + composite, form the raw cotangents from
+    the map/weight cotangents IN KERNEL, then the planar MLP reverse sweep
+    (the dW/db accumulation pattern of fused_field._field_bwd_kernel_pl)."""
+    n_w = depth + 4 + (2 if use_semantics else 0)
+    w_refs = refs[:n_w]
+    b_refs = refs[n_w:2 * n_w]
+    dw_refs = refs[2 * n_w:3 * n_w]
+    db_refs = refs[3 * n_w:4 * n_w]
+    cd = compute_dtype
+    n = r_blk * s
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for r in dw_refs + db_refs:
+            r[:] = jnp.zeros_like(r)
+
+    def tm(a, b):
+        # cast both operands: Mosaic rejects mixed bf16 x f32 dots
+        return jax.lax.dot_general(a.astype(cd), b.astype(cd),
+                                   (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    def wd(w, d):
+        return jax.lax.dot_general(w.astype(cd), d.astype(cd),
+                                   (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    def relu_bwd(act, d):
+        return jnp.where(act.astype(jnp.float32) > 0, d, 0.0)
+
+    # ---- forward recompute ------------------------------------------------
+    rid, sid = _seg_ids(n, s)
+    odv = _seg_broadcast(odv_ref, rid, r_blk, 9)
+    z_flat = _rows_to_lanes(z_ref, r_blk, s).astype(jnp.float32)
+    d3 = odv[3:6]
+    pts = odv[0:3] + d3 * z_flat
+
+    emb = _pe_in_kernel_pl(pts, mt_pts_ref[:], ph_pts_ref[:]).astype(cd)
+    it = iter(range(n_w))
+    acts, ins = [], [emb]
+    h = emb
+    for i in range(depth):
+        k = next(it)
+        a = jnp.maximum(_mm_pl(h, w_refs[k][:], b_refs[k][:]), 0.0).astype(cd)
+        acts.append(a)
+        h = jnp.concatenate([emb, a], axis=0) if i in skips else a
+        if i + 1 < depth:
+            ins.append(h)
+
+    k_alpha, k_feat, k_views, k_rgb = next(it), next(it), next(it), next(it)
+    sigma0 = _mm_pl(h, w_refs[k_alpha][:], b_refs[k_alpha][:])
+    sigma = sigma0
+    if noise_std > 0.0:
+        sigma = sigma0 + _noise_lanes(seed_ref[0, 0], pl.program_id(0), n, noise_std)
+
+    if use_semantics:
+        k_s0, k_s1 = next(it), next(it)
+        sem_in = jnp.concatenate([h, emb], axis=0) if sem_with_coord else h
+        s_act = jnp.maximum(_mm_pl(sem_in, w_refs[k_s0][:], b_refs[k_s0][:]), 0.0).astype(cd)
+        sem = _mm_pl(s_act, w_refs[k_s1][:], b_refs[k_s1][:])
+
+    demb = _pe_in_kernel_pl(odv[6:9], mt_dirs_ref[:], ph_dirs_ref[:]).astype(cd)
+    feat = _mm_pl(h, w_refs[k_feat][:], b_refs[k_feat][:]).astype(cd)
+    hv_in = jnp.concatenate([feat, demb], axis=0)
+    hv = jnp.maximum(_mm_pl(hv_in, w_refs[k_views][:], b_refs[k_views][:]), 0.0).astype(cd)
+    rgb_logits = _mm_pl(hv, w_refs[k_rgb][:], b_refs[k_rgb][:])
+
+    alpha, y, T, w, e, D = _composite_lane(sigma, z_flat, d3, sid, s)
+    rgb = jax.nn.sigmoid(rgb_logits)
+
+    # ---- composite cotangents --------------------------------------------
+    n_maps = 5 + (sem.shape[0] if use_semantics else 0)
+    dvals = _seg_broadcast(dmaps_ref, rid, r_blk, n_maps)  # [n_maps, N] f32
+    dw = (dvals[0:1] * rgb[0:1] + dvals[1:2] * rgb[1:2] + dvals[2:3] * rgb[2:3]
+          + dvals[3:4] * z_flat + dvals[4:5])
+    if use_semantics:
+        sem_f = sem.astype(jnp.float32)
+        for c in range(sem.shape[0]):
+            dw = dw + dvals[5 + c:6 + c] * sem_f[c:c + 1]
+    dw = dw + _rows_to_lanes(dwin_ref, r_blk, s).astype(jnp.float32)
+
+    d_rgb = (dvals[0:3] * w) * (rgb * (1.0 - rgb))  # sigmoid chain
+    d_sem = dvals[5:] * w if use_semantics else None
+
+    # w = alpha * T; T = prod_{j<i} y_j; y = 1 - alpha + 1e-10
+    dalpha = dw * T
+    dT = dw * alpha
+    dy = _seg_rev_cumsum_excl(dT * T, sid, s) / y
+    dalpha = dalpha - dy
+    # alpha = 1 - exp(-relu(sigma) * D)
+    d_sigma = jnp.where(sigma > 0.0, dalpha * e * D, 0.0)
+
+    # ---- MLP reverse sweep (planar; mirrors _field_bwd_kernel_pl) --------
+    d_rgb_c = d_rgb.astype(cd)
+    dw_refs[k_rgb][:] += tm(hv, d_rgb_c)
+    db_refs[k_rgb][:] += jnp.sum(d_rgb, 1, keepdims=True)
+    dhv = relu_bwd(hv, wd(w_refs[k_rgb][:], d_rgb_c)).astype(cd)
+
+    dw_refs[k_views][:] += tm(hv_in, dhv)
+    db_refs[k_views][:] += jnp.sum(dhv.astype(jnp.float32), 1, keepdims=True)
+    dhv_in = wd(w_refs[k_views][:], dhv)
+    d_feat = dhv_in[:feat.shape[0], :].astype(cd)
+
+    dw_refs[k_feat][:] += tm(h, d_feat)
+    db_refs[k_feat][:] += jnp.sum(d_feat.astype(jnp.float32), 1, keepdims=True)
+    dh = wd(w_refs[k_feat][:], d_feat)
+
+    # single-output-lane dot pothole: pad the alpha cotangent to 2 rows
+    d_alpha_c = d_sigma.astype(cd)
+    d_alpha2 = jnp.concatenate([d_alpha_c, jnp.zeros_like(d_alpha_c)], axis=0)
+    dw_refs[k_alpha][:] += tm(h, d_alpha2)[:, 0:1]
+    db_refs[k_alpha][:] += jnp.sum(d_sigma, 1, keepdims=True)
+    dh += wd(w_refs[k_alpha][:], d_alpha_c)
+
+    if use_semantics:
+        d_sem_c = d_sem.astype(cd)
+        dw_refs[k_s1][:] += tm(s_act, d_sem_c)
+        db_refs[k_s1][:] += jnp.sum(d_sem, 1, keepdims=True)
+        ds = relu_bwd(s_act, wd(w_refs[k_s1][:], d_sem_c)).astype(cd)
+        dw_refs[k_s0][:] += tm(sem_in, ds)
+        db_refs[k_s0][:] += jnp.sum(ds.astype(jnp.float32), 1, keepdims=True)
+        dsem_in = wd(w_refs[k_s0][:], ds)
+        dh += dsem_in[:h.shape[0], :] if sem_with_coord else dsem_in
+
+    dcur = dh
+    for i in reversed(range(depth)):
+        if i in skips:
+            dcur = dcur[emb.shape[0]:, :]  # emb rows: input grads not needed
+        dpre = relu_bwd(acts[i], dcur).astype(cd)
+        dw_refs[i][:] += tm(ins[i], dpre)
+        db_refs[i][:] += jnp.sum(dpre.astype(jnp.float32), 1, keepdims=True)
+        dcur = wd(w_refs[i][:], dpre)
+
+
+def _train_statics(cfg, depth):
+    compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    r_blk = TRAIN_RAY_BLOCK or _DEF_TRAIN_RAY_BLOCK
+    return compute_dtype, r_blk
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12))
+def _train_render(ws, bs, odv, z_vals, seed, depth, skips, multires,
+                  multires_views, use_semantics, sem_with_coord,
+                  compute_dtype_name, noise_std):
+    return _train_render_fwd_impl(ws, bs, odv, z_vals, seed, depth, skips,
+                                  multires, multires_views, use_semantics,
+                                  sem_with_coord, compute_dtype_name, noise_std)
+
+
+def _train_render_fwd_impl(ws, bs, odv, z_vals, seed, depth, skips, multires,
+                           multires_views, use_semantics, sem_with_coord,
+                           compute_dtype_name, noise_std,
+                           interpret: Optional[bool] = None):
+    compute_dtype = jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
+    r_blk = TRAIN_RAY_BLOCK or _DEF_TRAIN_RAY_BLOCK
+    S = z_vals.shape[-1]
+    (odv,), z_vals, R, pad = _pad_rays([odv], z_vals, r_blk)
+    n_blocks = z_vals.shape[0] // r_blk
+    ws_c = tuple(w.astype(compute_dtype) for w in ws)
+    bs_col = tuple(b.astype(jnp.float32).reshape(-1, 1) for b in bs)
+    pe_args = _pe_consts_pl(multires, multires_views)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    n_maps = 5 + (ws[-1].shape[-1] if use_semantics else 0)
+    full = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
+                                    memory_space=pltpu.VMEM)
+    maps, weights = pl.pallas_call(
+        functools.partial(
+            _train_render_kernel, depth=depth, skips=skips,
+            use_semantics=use_semantics, sem_with_coord=sem_with_coord,
+            compute_dtype=compute_dtype, r_blk=r_blk, s=S,
+            noise_std=noise_std),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((r_blk, 9), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_blk, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            *[full(a) for a in pe_args],
+            *[full(w) for w in ws_c],
+            *[full(b) for b in bs_col],
+        ],
+        out_specs=[
+            pl.BlockSpec((r_blk, n_maps), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_blk, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_blocks * r_blk, n_maps), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks * r_blk, S), jnp.float32),
+        ],
+        interpret=interpret,
+    )(odv, z_vals, seed, *pe_args, *ws_c, *bs_col)
+    if pad:
+        maps, weights = maps[:R], weights[:R]
+    return maps, weights
+
+
+def _train_render_fwd(ws, bs, odv, z_vals, seed, *static):
+    out = _train_render_fwd_impl(ws, bs, odv, z_vals, seed, *static)
+    return out, (ws, bs, odv, z_vals, seed)
+
+
+def _train_render_bwd(depth, skips, multires, multires_views, use_semantics,
+                      sem_with_coord, compute_dtype_name, noise_std,
+                      residuals, cots, interpret: Optional[bool] = None):
+    ws, bs, odv, z_vals, seed = residuals
+    dmaps, dweights = cots
+    compute_dtype = jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
+    r_blk = TRAIN_RAY_BLOCK or _DEF_TRAIN_RAY_BLOCK
+    S = z_vals.shape[-1]
+    odv0, z0 = odv, z_vals
+    (odv, dmaps, dweights), z_vals, R, pad = _pad_rays(
+        [odv, dmaps, dweights], z_vals, r_blk)
+    if pad:
+        # padded rays must contribute ZERO cotangent (they replicate edge rays)
+        mask = (jnp.arange(z_vals.shape[0]) < R).astype(dmaps.dtype)
+        dmaps = dmaps * mask[:, None]
+        dweights = dweights * mask[:, None]
+    n_blocks = z_vals.shape[0] // r_blk
+    ws_c = tuple(w.astype(compute_dtype) for w in ws)
+    bs_col = tuple(b.astype(jnp.float32).reshape(-1, 1) for b in bs)
+    pe_args = _pe_consts_pl(multires, multires_views)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    full = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
+                                    memory_space=pltpu.VMEM)
+    acc2d = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                       memory_space=pltpu.VMEM)
+    w_shapes = [w.shape for w in ws]
+    b_sizes = [b.shape[0] for b in bs]
+    n_maps = dmaps.shape[-1]
+    outs = pl.pallas_call(
+        functools.partial(
+            _train_render_bwd_kernel, depth=depth, skips=skips,
+            use_semantics=use_semantics, sem_with_coord=sem_with_coord,
+            compute_dtype=compute_dtype, r_blk=r_blk, s=S,
+            noise_std=noise_std),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((r_blk, 9), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_blk, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((r_blk, n_maps), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_blk, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            *[full(a) for a in pe_args],
+            *[full(w) for w in ws_c],
+            *[full(b) for b in bs_col],
+        ],
+        out_specs=([acc2d(s) for s in w_shapes]
+                   + [acc2d((nb, 1)) for nb in b_sizes]),
+        out_shape=([jax.ShapeDtypeStruct(s, jnp.float32) for s in w_shapes]
+                   + [jax.ShapeDtypeStruct((nb, 1), jnp.float32) for nb in b_sizes]),
+        interpret=interpret,
+    )(odv, z_vals, seed, dmaps, dweights, *pe_args, *ws_c, *bs_col)
+
+    n_w = len(ws)
+    dws = tuple(outs[i].astype(ws[i].dtype) for i in range(n_w))
+    dbs = tuple(outs[n_w + i][:, 0].astype(bs[i].dtype) for i in range(n_w))
+    # rays-as-data / detached z: exact-zero cotangents (see section header)
+    return (dws, dbs, jnp.zeros_like(odv0), jnp.zeros_like(z0),
+            jnp.zeros_like(seed))
+
+
+_train_render.defvjp(_train_render_fwd, _train_render_bwd)
+
+
+def fused_train_render_planar(params: Dict[str, Any], odv: jnp.ndarray,
+                              z_vals: jnp.ndarray, cfg,
+                              depth: Optional[int] = None,
+                              noise_std: float = 0.0,
+                              noise_key: Optional[jax.Array] = None
+                              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Differentiable fused render (train path).
+
+    Args: odv [R, 9] (o, d, viewdirs columns), z_vals [R, S].
+    Returns (maps [R, 5+sem], weights [R, S]) — see finish_maps.
+    Gradients flow to params only (odv/z/key get exact zeros).
+    """
+    mlp = params["mlp"]
+    depth = cfg.netdepth if depth is None else depth
+    ws, bs = _flatten_mlp_params(mlp, depth, cfg.use_semantics)
+    if noise_std > 0.0 and noise_key is not None:
+        seed = jax.random.randint(noise_key, (1, 1), 0, 2 ** 31 - 1).astype(jnp.float32)
+    else:
+        seed = jnp.zeros((1, 1), jnp.float32)
+    return _train_render(
+        tuple(ws), tuple(bs), odv, z_vals, seed,
+        depth, (4,), cfg.multires, cfg.multires_views,
+        cfg.use_semantics, cfg.sem_with_coord, cfg.compute_dtype,
+        float(noise_std),
+    )

@@ -1,0 +1,200 @@
+"""Parity tests for the fully-fused eval render kernels (field + composite).
+
+The fused path (ops/pallas/fused_render.py) must reproduce the composite-
+outside render exactly (up to the doubling-scan's tree-order rounding): the
+XLA path is itself torch-oracle-tested (tests/test_render_parity.py), so
+agreement here chains to reference parity.
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerfsos_tpu.models.nerf import NeRFConfig, NeRFNet
+
+
+@pytest.fixture(scope="module")
+def nets():
+    cfg = NeRFConfig(netwidth=16, netdepth=5, netwidth_fine=16, netdepth_fine=5,
+                     n_samples=8, n_importance=8, multires=4, multires_views=2,
+                     use_semantics=True, sem_with_coord=True, ray_block=4096)
+    xla = NeRFNet(cfg)
+    fused = NeRFNet(dataclasses.replace(cfg, fused_field=True))
+    params = xla.init(jax.random.PRNGKey(0))
+    return xla, fused, params
+
+
+def _rays(key, n):
+    o, d = jax.random.normal(key, (2, n, 3))
+    return jnp.stack([o, d])
+
+
+def test_fused_eval_render_matches_xla(nets, key):
+    """coarse_outputs=False routes the fused net through the single-kernel
+    render; every returned map must match the XLA path."""
+    xla, fused, params = nets
+    rays = _rays(key, 20)  # 20 % RAY_BLOCK(8) != 0 -> exercises ray padding
+
+    a = xla(params, rays, (1.0, 4.0), train=False, coarse_outputs=False)
+    b = fused(params, rays, (1.0, 4.0), train=False, coarse_outputs=False)
+    assert set(a.keys()) == set(b.keys())
+    for k in a:
+        # z_std: the kernel's doubling-scan coarse weights differ from the
+        # sequential cumprod at ~1e-7, which can flip an inverse-CDF bin for
+        # a u right at a boundary — the sample moves ~one bin (not a bug).
+        tol = 5e-3 if k == "z_std" else 2e-5
+        np.testing.assert_allclose(np.array(a[k]), np.array(b[k]), atol=tol,
+                                   rtol=1e-5 if k != "z_std" else 1e-2,
+                                   err_msg=k)
+
+
+def test_fused_eval_render_white_bkgd(nets, key):
+    xla, fused, params = nets
+    cfgw = dataclasses.replace(xla.cfg, white_bkgd=True)
+    xla_w = NeRFNet(cfgw)
+    fused_w = NeRFNet(dataclasses.replace(cfgw, fused_field=True))
+    rays = _rays(key, 16)
+    a = xla_w(params, rays, (1.0, 4.0), train=False, coarse_outputs=False)
+    b = fused_w(params, rays, (1.0, 4.0), train=False, coarse_outputs=False)
+    for k in ("rgb", "semantics", "acc"):
+        np.testing.assert_allclose(np.array(a[k]), np.array(b[k]), atol=2e-5,
+                                   err_msg=k)
+
+
+def test_fused_render_no_semantics(nets, key):
+    _, _, _ = nets
+    cfg = NeRFConfig(netwidth=16, netdepth=5, netwidth_fine=16, netdepth_fine=5,
+                     n_samples=8, n_importance=8, multires=4, multires_views=2,
+                     use_semantics=False, ray_block=4096)
+    xla = NeRFNet(cfg)
+    fused = NeRFNet(dataclasses.replace(cfg, fused_field=True))
+    params = xla.init(jax.random.PRNGKey(3))
+    rays = _rays(jax.random.PRNGKey(4), 8)
+    a = xla(params, rays, (1.0, 4.0), train=False, coarse_outputs=False)
+    b = fused(params, rays, (1.0, 4.0), train=False, coarse_outputs=False)
+    assert "semantics" not in b
+    for k in a:
+        np.testing.assert_allclose(np.array(a[k]), np.array(b[k]), atol=2e-5,
+                                   err_msg=k)
+
+
+def test_fused_render_noise_falls_back(nets, key):
+    """raw_noise_std != 0 must NOT take the fused (noise-free) path — the
+    two nets agree only because both draw the same per-ray noise through the
+    composite-outside route."""
+    xla, fused, params = nets
+    rays = _rays(key, 8)
+    a = xla(params, rays, (1.0, 4.0), key=jax.random.PRNGKey(7), train=False,
+            coarse_outputs=False, raw_noise_std=0.7)
+    b = fused(params, rays, (1.0, 4.0), key=jax.random.PRNGKey(7), train=False,
+              coarse_outputs=False, raw_noise_std=0.7)
+    np.testing.assert_allclose(np.array(a["rgb"]), np.array(b["rgb"]),
+                               atol=2e-5)
+
+
+def test_seg_cumprod_matches_numpy():
+    """The in-kernel segmented exclusive cumprod against numpy, directly."""
+    from nerfsos_tpu.ops.pallas.fused_render import _seg_cumprod_excl, _seg_ids
+
+    r_blk, s = 4, 12
+    n = r_blk * s
+    x = np.random.default_rng(0).uniform(0.9, 1.1, (1, n)).astype(np.float32)
+    _, sid = _seg_ids(n, s)
+    got = np.asarray(_seg_cumprod_excl(jnp.asarray(x), sid, s))
+    seg = x.reshape(r_blk, s)
+    want = np.ones_like(seg)
+    want[:, 1:] = np.cumprod(seg[:, :-1], axis=1)
+    np.testing.assert_allclose(got, want.reshape(1, n), rtol=1e-6)
+
+
+# ---------------------------------------------------------------- train path
+
+
+def test_fused_train_render_forward_matches_xla(nets, key):
+    """coarse_outputs=True (the train render) through the fused train
+    kernels: every map including the '0'-suffixed coarse set must match."""
+    xla, fused, params = nets
+    rays = _rays(key, 20)
+    a = xla(params, rays, (1.0, 4.0), train=False)
+    b = fused(params, rays, (1.0, 4.0), train=False)
+    assert set(a.keys()) == set(b.keys())
+    for k in a:
+        tol = 5e-3 if k == "z_std" else 2e-5
+        np.testing.assert_allclose(np.array(a[k]), np.array(b[k]), atol=tol,
+                                   rtol=1e-5 if k != "z_std" else 1e-2,
+                                   err_msg=k)
+
+
+def test_fused_train_render_grads_match_xla(nets, key):
+    """The fused backward (in-kernel composite cotangents + reverse sweep)
+    against jax.grad of the XLA render, on a loss touching every output the
+    trainers consume (rgb/rgb0/semantics/semantics0/depth/weights)."""
+    xla, fused, params = nets
+    rays = _rays(key, 16)
+    tgt = jax.random.uniform(jax.random.PRNGKey(9), (16, 3))
+
+    def loss(net, p):
+        out = net(p, rays, (1.0, 4.0), train=False)
+        return (jnp.mean((out["rgb"] - tgt) ** 2)
+                + jnp.mean((out["rgb0"] - tgt) ** 2)
+                + 0.3 * jnp.mean(out["semantics"] ** 2)
+                + 0.2 * jnp.mean(out["semantics0"] ** 2)
+                + 0.1 * jnp.mean(out["depth"])
+                + 0.05 * jnp.mean(out["weights"] ** 2))
+
+    ga = jax.grad(lambda p: loss(xla, p))(params)
+    gb = jax.grad(lambda p: loss(fused, p))(params)
+    for (path, a), (_, b) in zip(jax.tree_util.tree_flatten_with_path(ga)[0],
+                                 jax.tree_util.tree_flatten_with_path(gb)[0]):
+        denom = np.abs(np.array(a)).max() + 1e-9
+        np.testing.assert_array_less(
+            np.abs(np.array(a) - np.array(b)).max() / denom, 5e-5,
+            err_msg=jax.tree_util.keystr(path))
+
+
+def test_fused_train_render_noise_deterministic_and_distributed(nets, key):
+    """In-kernel noise: same key -> bit-identical; distribution sanity via
+    the weights' dispersion (the draws are hash-based, not jax.random)."""
+    _, fused, params = nets
+    rays = _rays(key, 24)
+    a = fused(params, rays, (1.0, 4.0), key=jax.random.PRNGKey(5), train=True,
+              raw_noise_std=1.0, perturb=0.0)
+    b = fused(params, rays, (1.0, 4.0), key=jax.random.PRNGKey(5), train=True,
+              raw_noise_std=1.0, perturb=0.0)
+    np.testing.assert_array_equal(np.array(a["rgb"]), np.array(b["rgb"]))
+    c = fused(params, rays, (1.0, 4.0), key=jax.random.PRNGKey(6), train=True,
+              raw_noise_std=1.0, perturb=0.0)
+    assert np.abs(np.array(a["rgb"]) - np.array(c["rgb"])).max() > 1e-6
+    d = fused(params, rays, (1.0, 4.0), key=jax.random.PRNGKey(5), train=True,
+              raw_noise_std=0.0, perturb=0.0)
+    assert np.abs(np.array(a["rgb"]) - np.array(d["rgb"])).max() > 1e-6
+
+
+def test_fused_train_grads_with_noise_finite(nets, key):
+    _, fused, params = nets
+    rays = _rays(key, 8)
+
+    def loss(p):
+        out = fused(p, rays, (1.0, 4.0), key=jax.random.PRNGKey(2), train=True,
+                    raw_noise_std=0.5, perturb=0.0)
+        return jnp.mean(out["rgb"] ** 2) + jnp.mean(out["rgb0"] ** 2)
+
+    g = jax.grad(loss)(params)
+    assert all(bool(jnp.all(jnp.isfinite(x)))
+               for x in jax.tree_util.tree_leaves(g))
+
+
+def test_seg_rev_cumsum_matches_numpy():
+    from nerfsos_tpu.ops.pallas.fused_render import _seg_ids, _seg_rev_cumsum_excl
+
+    r_blk, s = 4, 12
+    n = r_blk * s
+    x = np.random.default_rng(1).normal(size=(1, n)).astype(np.float32)
+    _, sid = _seg_ids(n, s)
+    got = np.asarray(_seg_rev_cumsum_excl(jnp.asarray(x), sid, s))
+    seg = x.reshape(r_blk, s)
+    want = np.zeros_like(seg)
+    want[:, :-1] = np.cumsum(seg[:, ::-1], axis=1)[:, ::-1][:, 1:]
+    np.testing.assert_allclose(got, want.reshape(1, n), rtol=1e-5, atol=1e-6)
