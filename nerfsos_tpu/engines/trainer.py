@@ -44,6 +44,76 @@ def rgb_loss_fn(
     return loss, metrics
 
 
+def _fused_rgb_value_and_grads(
+    net: NeRFNet,
+    params: Any,
+    batch: Dict[str, jnp.ndarray],
+    key: jax.Array,
+    near: float,
+    far: float,
+    rgb_w: float,
+) -> Tuple[Any, Dict[str, jnp.ndarray]]:
+    """Loss + gradients via the 3x-FLOP fused RGB train kernels: ONE Pallas
+    kernel per pass computes forward, maps, the in-kernel img2mse cotangent,
+    and the full reverse sweep — no separate forward render exists (the
+    4x-FLOP custom_vjp path pays fwd kernel + recompute-bwd). Exact same
+    gradient as value_and_grad(rgb_loss_fn) on the fused net (the cotangent
+    scale rgb_w/(R*3) is applied outside the kernel; the sweep is linear).
+    """
+    from nerfsos_tpu.core import sampling
+    from nerfsos_tpu.ops.pallas import fused_render as fr
+
+    cfg = net.cfg
+    rays_o = batch["rays"][0].astype(jnp.float32)
+    rays_d = batch["rays"][1].astype(jnp.float32)
+    gt = batch["target"]
+    R = rays_o.shape[0]
+    viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    near_b = jnp.broadcast_to(jnp.asarray(near, jnp.float32), (R,))[:, None]
+    far_b = jnp.broadcast_to(jnp.asarray(far, jnp.float32), (R,))[:, None]
+    k_strat, k_noise_c, k_imp, k_noise_f = jax.random.split(key, 4)
+
+    z_vals = sampling.stratified_sample(
+        k_strat, near_b, far_b, cfg.n_samples, perturb=cfg.perturb,
+        lindisp=cfg.lindisp)
+    odv = jnp.concatenate([rays_o, rays_d, viewdirs], axis=1)  # [R, 9]
+
+    g_c, maps0, w0 = fr.fused_rgb_train_grads(
+        params["coarse"], odv, z_vals, gt, cfg, depth=cfg.netdepth,
+        noise_std=cfg.raw_noise_std, noise_key=k_noise_c)
+    z_all, _ = sampling.importance_sample(
+        k_imp, z_vals, w0, cfg.n_importance, det=(cfg.perturb == 0.0))
+    g_f, maps, _ = fr.fused_rgb_train_grads(
+        params["fine"], odv, z_all, gt, cfg, depth=cfg.netdepth_fine,
+        noise_std=cfg.raw_noise_std, noise_key=k_noise_f)
+
+    scale = rgb_w / (R * 3)
+    grads = jax.tree_util.tree_map(lambda x: x * scale,
+                                   {"coarse": g_c, "fine": g_f})
+
+    def rgbm(m):
+        return m[:, 0:3] + ((1.0 - m[:, 4:5]) if cfg.white_bkgd else 0.0)
+
+    img_loss = img2mse(rgbm(maps), gt)
+    img_loss0 = img2mse(rgbm(maps0), gt)
+    metrics = {"img1": img_loss, "psnr": mse2psnr(img_loss),
+               "img0": img_loss0, "psnr0": mse2psnr(img_loss0),
+               "loss": rgb_w * (img_loss + img_loss0)}
+    return grads, metrics
+
+
+def _supports_fused_rgb_loss(net) -> bool:
+    if not isinstance(net, NeRFNet):
+        return False
+    cfg = net.cfg
+    if not (cfg.fused_field and cfg.use_viewdirs and cfg.n_importance > 0
+            and not cfg.field_input_grads):
+        return False
+    from nerfsos_tpu.ops.pallas.fused_field import supports_fused
+
+    return supports_fused(cfg)
+
+
 def make_rgb_train_step(
     net: NeRFNet,
     near: float,
@@ -78,11 +148,15 @@ def make_rgb_train_step(
 
         def local_grads(params, batch, key):
             key = jax.random.fold_in(key, jax.lax.axis_index("data"))
-            (_, metrics), grads = jax.value_and_grad(
-                lambda p: rgb_loss_fn(net, p, batch, key, near, far, rgb_w,
-                                      net_kwargs),
-                has_aux=True,
-            )(params)
+            if _supports_fused_rgb_loss(net):
+                grads, metrics = _fused_rgb_value_and_grads(
+                    net, params, batch, key, near, far, rgb_w)
+            else:
+                (_, metrics), grads = jax.value_and_grad(
+                    lambda p: rgb_loss_fn(net, p, batch, key, near, far,
+                                          rgb_w, net_kwargs),
+                    has_aux=True,
+                )(params)
             # check_vma=False -> classic shard_map AD: replicated-param
             # cotangents come back UNREDUCED (per-shard); pmean of the
             # local-mean-loss grads is the exact global-mean gradient.
@@ -117,10 +191,15 @@ def make_rgb_train_step(
         return jax.jit(sm_step, **kwargs)
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray], key: jax.Array):
-        (_, metrics), grads = jax.value_and_grad(
-            lambda p: rgb_loss_fn(net, p, batch, key, near, far, rgb_w, net_kwargs),
-            has_aux=True,
-        )(state.params)
+        if _supports_fused_rgb_loss(net):
+            grads, metrics = _fused_rgb_value_and_grads(
+                net, state.params, batch, key, near, far, rgb_w)
+        else:
+            (_, metrics), grads = jax.value_and_grad(
+                lambda p: rgb_loss_fn(net, p, batch, key, near, far, rgb_w,
+                                      net_kwargs),
+                has_aux=True,
+            )(state.params)
         return state.apply_gradients(grads), metrics
 
     kwargs = {}

@@ -53,10 +53,17 @@ from nerfsos_tpu.ops.pallas.fused_field import (
 )
 
 # Rays per grid step (N_blk = RAY_BLOCK * S points through the MLP per step).
-# 8 keeps N_blk at 1536/512 for the fine/coarse flagship shapes — inside the
-# remote compiler's known-good envelope (flat-block ceiling was 2048).
+# None = adaptive: target ~3072 points per block (fine S=192 -> 16 rays,
+# coarse S=64 -> 48) — measured 386.1k vs 378.9k rays/s at the fixed 8, and
+# the remote compiler rejects ~6144-point blocks (R_blk=32 at S=192).
 RAY_BLOCK: Optional[int] = None
-_DEF_RAY_BLOCK = 8
+_EVAL_TARGET_N = 3072
+
+
+def _eval_ray_block(s: int) -> int:
+    if RAY_BLOCK is not None:
+        return RAY_BLOCK
+    return max(8, (_EVAL_TARGET_N // (8 * s)) * 8)
 
 
 def _seg_ids(n: int, s: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -262,8 +269,8 @@ def fused_render_planar(params: Dict[str, Any], odv: jnp.ndarray,
     depth = cfg.netdepth if depth is None else depth
     ws, bs = _flatten_mlp_params(mlp, depth, cfg.use_semantics)
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-    r_blk = RAY_BLOCK or _DEF_RAY_BLOCK
     S = z_vals.shape[-1]
+    r_blk = _eval_ray_block(S)
     (odv,), z_vals, R, pad = _pad_rays([odv], z_vals, r_blk)
     n_blocks = z_vals.shape[0] // r_blk
 
@@ -315,8 +322,8 @@ def fused_coarse_weights_planar(params: Dict[str, Any], od: jnp.ndarray,
     ws = tuple(mlp[n]["kernel"] for n in names)
     bs = tuple(mlp[n]["bias"] for n in names)
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-    r_blk = RAY_BLOCK or _DEF_RAY_BLOCK
     S = z_vals.shape[-1]
+    r_blk = _eval_ray_block(S)
     (od,), z_vals, R, pad = _pad_rays([od], z_vals, r_blk)
     n_blocks = z_vals.shape[0] // r_blk
 
@@ -405,12 +412,15 @@ def _seg_rev_cumsum_excl(u: jnp.ndarray, sid: jnp.ndarray, s: int) -> jnp.ndarra
 
 
 def _mix32(x: jnp.ndarray) -> jnp.ndarray:
-    """SplitMix32-style avalanche on uint32 lanes."""
-    x = x ^ (x >> 16)
-    x = x * jnp.uint32(0x7FEB352D)
-    x = x ^ (x >> 15)
-    x = x * jnp.uint32(0x846CA68B)
-    x = x ^ (x >> 16)
+    """SplitMix32-style avalanche on int32 lanes (wrap-around multiplies;
+    LOGICAL right shifts — Mosaic has no uint32 casts, and int32 >> is
+    arithmetic)."""
+    srl = jax.lax.shift_right_logical
+    x = x ^ srl(x, 16)
+    x = x * jnp.int32(0x7FEB352D)
+    x = x ^ srl(x, 15)
+    x = x * jnp.int32(-2064850293)  # 0x846CA68B as int32
+    x = x ^ srl(x, 16)
     return x
 
 
@@ -419,12 +429,13 @@ def _noise_lanes(seed_f32, pid, n: int, std: float) -> jnp.ndarray:
 
     seed_f32: SMEM scalar (f32 carrying an integer — f32 so the custom_vjp
     cotangent is an ordinary zero, not a float0)."""
-    idx = jax.lax.broadcasted_iota(jnp.uint32, (1, n), 1)
-    base = seed_f32.astype(jnp.uint32) + pid.astype(jnp.uint32) * jnp.uint32(n)
-    h1 = _mix32((idx + base) * jnp.uint32(2654435761))
-    h2 = _mix32(h1 + jnp.uint32(0x9E3779B9))
-    u1 = (h1 >> 8).astype(jnp.float32) * (2.0 ** -24)  # [0, 1)
-    u2 = (h2 >> 8).astype(jnp.float32) * (2.0 ** -24)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    base = seed_f32.astype(jnp.int32) + pid * jnp.int32(n)
+    h1 = _mix32((idx + base) * jnp.int32(-1640531527))  # 2654435761 wrapped
+    h2 = _mix32(h1 + jnp.int32(0x7E3779B9))
+    srl = jax.lax.shift_right_logical
+    u1 = srl(h1, 8).astype(jnp.float32) * (2.0 ** -24)  # [0, 1)
+    u2 = srl(h2, 8).astype(jnp.float32) * (2.0 ** -24)
     r = jnp.sqrt(-2.0 * jnp.log1p(-u1))  # log1p: exact near u1=0
     return (std * r) * jnp.cos((2.0 * 3.14159265358979) * u2)
 
@@ -505,15 +516,26 @@ def _train_render_bwd_kernel(
     mt_pts_ref, ph_pts_ref, mt_dirs_ref, ph_dirs_ref, *refs,
     depth: int, skips: Tuple[int, ...], use_semantics: bool,
     sem_with_coord: bool, compute_dtype, r_blk: int, s: int, noise_std: float,
+    rgb_loss: bool = False, white_bkgd: bool = False,
 ):
     """Backward: recompute forward + composite, form the raw cotangents from
     the map/weight cotangents IN KERNEL, then the planar MLP reverse sweep
-    (the dW/db accumulation pattern of fused_field._field_bwd_kernel_pl)."""
+    (the dW/db accumulation pattern of fused_field._field_bwd_kernel_pl).
+
+    ``rgb_loss=True`` is the 3x-FLOP RGB TRAIN mode (no separate forward
+    pass at all): dmaps_ref/dwin_ref are reinterpreted as gt [R_blk, 3] /
+    valid [R_blk, 1], the kernel computes the per-ray maps itself, forms the
+    UNSCALED img2mse cotangent 2*(rgb_map - gt) in kernel (the caller
+    multiplies the dW/db outputs by rgb_w/(R*3) — exact, the sweep is linear
+    in the cotangent), and additionally outputs maps + weights for the
+    metrics and the importance resampler."""
     n_w = depth + 4 + (2 if use_semantics else 0)
     w_refs = refs[:n_w]
     b_refs = refs[n_w:2 * n_w]
     dw_refs = refs[2 * n_w:3 * n_w]
     db_refs = refs[3 * n_w:4 * n_w]
+    if rgb_loss:
+        maps_ref, wout_ref = refs[4 * n_w], refs[4 * n_w + 1]
     cd = compute_dtype
     n = r_blk * s
 
@@ -578,14 +600,40 @@ def _train_render_bwd_kernel(
 
     # ---- composite cotangents --------------------------------------------
     n_maps = 5 + (sem.shape[0] if use_semantics else 0)
-    dvals = _seg_broadcast(dmaps_ref, rid, r_blk, n_maps)  # [n_maps, N] f32
+    if rgb_loss:
+        # compute the per-ray maps here (no separate forward exists)
+        rows = [w * rgb, w * z_flat, w]
+        if use_semantics:
+            rows.append(w * sem.astype(jnp.float32))
+        vals = jnp.concatenate(rows, axis=0)
+        seg = (jax.lax.broadcasted_iota(jnp.int32, (n, r_blk), 0) // s
+               == jax.lax.broadcasted_iota(jnp.int32, (n, r_blk), 1)
+               ).astype(jnp.float32)
+        maps = jax.lax.dot_general(seg, vals, (((0,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        maps_ref[:] = maps
+        _store_rows(wout_ref, w, r_blk, s)
+        # unscaled img2mse cotangent, zeroed on padded rays (valid column)
+        acc_col = maps[:, 4:5]
+        rgbm = maps[:, 0:3] + ((1.0 - acc_col) if white_bkgd else 0.0)
+        diff = 2.0 * (rgbm - dmaps_ref[:]) * dwin_ref[:]  # gt / valid refs
+        zcol = jnp.zeros((r_blk, 1), jnp.float32)
+        cols = [diff, zcol,
+                -jnp.sum(diff, 1, keepdims=True) if white_bkgd else zcol]
+        if use_semantics:
+            cols.append(jnp.zeros((r_blk, sem.shape[0]), jnp.float32))
+        dmaps_blk = jnp.concatenate(cols, axis=1)
+        dvals = _seg_broadcast(dmaps_blk, rid, r_blk, n_maps)
+    else:
+        dvals = _seg_broadcast(dmaps_ref, rid, r_blk, n_maps)  # [n_maps, N]
     dw = (dvals[0:1] * rgb[0:1] + dvals[1:2] * rgb[1:2] + dvals[2:3] * rgb[2:3]
           + dvals[3:4] * z_flat + dvals[4:5])
     if use_semantics:
         sem_f = sem.astype(jnp.float32)
         for c in range(sem.shape[0]):
             dw = dw + dvals[5 + c:6 + c] * sem_f[c:c + 1]
-    dw = dw + _rows_to_lanes(dwin_ref, r_blk, s).astype(jnp.float32)
+    if not rgb_loss:
+        dw = dw + _rows_to_lanes(dwin_ref, r_blk, s).astype(jnp.float32)
 
     d_rgb = (dvals[0:3] * w) * (rgb * (1.0 - rgb))  # sigmoid chain
     d_sem = dvals[5:] * w if use_semantics else None
@@ -759,6 +807,12 @@ def _train_render_bwd(depth, skips, multires, multires_views, use_semantics,
                    + [acc2d((nb, 1)) for nb in b_sizes]),
         out_shape=([jax.ShapeDtypeStruct(s, jnp.float32) for s in w_shapes]
                    + [jax.ShapeDtypeStruct((nb, 1), jnp.float32) for nb in b_sizes]),
+        # The recompute+reverse sweep at the minimum legal block (8 rays x
+        # 192 samples) needs an 18 MB VMEM stack — over the default 16 MB
+        # scoped limit but far under the chip's 128 MB VMEM. Raise the cap
+        # (costs pipelining headroom the sequential-grid reduction pattern
+        # doesn't use anyway).
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(odv, z_vals, seed, dmaps, dweights, *pe_args, *ws_c, *bs_col)
 
@@ -798,3 +852,94 @@ def fused_train_render_planar(params: Dict[str, Any], odv: jnp.ndarray,
         cfg.use_semantics, cfg.sem_with_coord, cfg.compute_dtype,
         float(noise_std),
     )
+
+
+def fused_rgb_train_grads(params: Dict[str, Any], odv: jnp.ndarray,
+                          z_vals: jnp.ndarray, gt: jnp.ndarray, cfg,
+                          depth: Optional[int] = None,
+                          noise_std: float = 0.0,
+                          noise_key: Optional[jax.Array] = None,
+                          interpret: Optional[bool] = None):
+    """ONE kernel per pass for the RGB trainer: forward recompute + maps +
+    in-kernel img2mse cotangent + full reverse sweep — 3x the forward matmul
+    FLOPs instead of the 4x of fwd-kernel + recompute-bwd (the separate
+    forward pass disappears entirely).
+
+    Args: odv [R, 9], z_vals [R, S], gt [R, 3].
+    Returns (grads_mlp: dict mirroring params['mlp'] with UNSCALED dW/db —
+    caller multiplies by rgb_w/(R*3); maps [R, 5+sem]; weights [R, S]).
+    """
+    mlp = params["mlp"]
+    depth = cfg.netdepth if depth is None else depth
+    ws, bs = _flatten_mlp_params(mlp, depth, cfg.use_semantics)
+    names = [f"pts_linears_{i}" for i in range(depth)]
+    names += ["alpha_linear", "feature_linear", "views_linears_0", "rgb_linear"]
+    if cfg.use_semantics:
+        names += ["sem_0", "sem_1"]
+    compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    r_blk = TRAIN_RAY_BLOCK or _DEF_TRAIN_RAY_BLOCK
+    S = z_vals.shape[-1]
+    R = z_vals.shape[0]
+    if noise_std > 0.0 and noise_key is not None:
+        seed = jax.random.randint(noise_key, (1, 1), 0, 2 ** 31 - 1).astype(jnp.float32)
+    else:
+        seed = jnp.zeros((1, 1), jnp.float32)
+    valid = jnp.ones((R, 1), jnp.float32)
+    (odv, gt, valid), z_vals, R, pad = _pad_rays([odv, gt, valid], z_vals, r_blk)
+    if pad:
+        valid = valid * (jnp.arange(z_vals.shape[0]) < R).astype(
+            jnp.float32)[:, None]
+    n_blocks = z_vals.shape[0] // r_blk
+    ws_c = tuple(w.astype(compute_dtype) for w in ws)
+    bs_col = tuple(b.astype(jnp.float32).reshape(-1, 1) for b in bs)
+    pe_args = _pe_consts_pl(cfg.multires, cfg.multires_views)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    n_maps = 5 + (ws[-1].shape[-1] if cfg.use_semantics else 0)
+    full = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
+                                    memory_space=pltpu.VMEM)
+    acc2d = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                       memory_space=pltpu.VMEM)
+    w_shapes = [w.shape for w in ws]
+    b_sizes = [b.shape[0] for b in bs]
+    outs = pl.pallas_call(
+        functools.partial(
+            _train_render_bwd_kernel, depth=depth, skips=(4,),
+            use_semantics=cfg.use_semantics, sem_with_coord=cfg.sem_with_coord,
+            compute_dtype=compute_dtype, r_blk=r_blk, s=S,
+            noise_std=float(noise_std), rgb_loss=True,
+            white_bkgd=cfg.white_bkgd),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((r_blk, 9), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_blk, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((r_blk, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_blk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            *[full(a) for a in pe_args],
+            *[full(w) for w in ws_c],
+            *[full(b) for b in bs_col],
+        ],
+        out_specs=([acc2d(sh) for sh in w_shapes]
+                   + [acc2d((nb, 1)) for nb in b_sizes]
+                   + [pl.BlockSpec((r_blk, n_maps), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((r_blk, S), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)]),
+        out_shape=([jax.ShapeDtypeStruct(sh, jnp.float32) for sh in w_shapes]
+                   + [jax.ShapeDtypeStruct((nb, 1), jnp.float32) for nb in b_sizes]
+                   + [jax.ShapeDtypeStruct((z_vals.shape[0], n_maps), jnp.float32),
+                      jax.ShapeDtypeStruct((z_vals.shape[0], S), jnp.float32)]),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(odv, z_vals, seed, gt, valid, *pe_args, *ws_c, *bs_col)
+
+    n_w = len(ws)
+    grads = {nm: {"kernel": outs[i].astype(ws[i].dtype),
+                  "bias": outs[n_w + i][:, 0].astype(bs[i].dtype)}
+             for i, nm in enumerate(names)}
+    maps, weights = outs[2 * n_w], outs[2 * n_w + 1]
+    if pad:
+        maps, weights = maps[:R], weights[:R]
+    return {"mlp": grads}, maps, weights

@@ -198,3 +198,54 @@ def test_seg_rev_cumsum_matches_numpy():
     want = np.zeros_like(seg)
     want[:, :-1] = np.cumsum(seg[:, ::-1], axis=1)[:, ::-1][:, 1:]
     np.testing.assert_allclose(got, want.reshape(1, n), rtol=1e-5, atol=1e-6)
+
+
+def test_fused_rgb_loss_step_matches_ad_step(nets, key):
+    """The 3x-FLOP loss-in-kernel RGB train step must produce the SAME
+    gradients/metrics as value_and_grad over the fused render (identical
+    kernels + seeds; the only difference is where the cotangent is formed).
+    Checked with noise and perturb ACTIVE — the seed plumbing must line up."""
+    import optax
+
+    from nerfsos_tpu.engines.state import TrainState
+    from nerfsos_tpu.engines.trainer import (
+        _fused_rgb_value_and_grads,
+        _supports_fused_rgb_loss,
+        make_rgb_train_step,
+        rgb_loss_fn,
+    )
+
+    _, fused, params = nets
+    assert _supports_fused_rgb_loss(fused)
+    B = 24
+    batch = {"rays": _rays(key, B),
+             "target": jax.random.uniform(jax.random.PRNGKey(3), (B, 3)),
+             "masks": jnp.zeros((B, 1))}
+    k = jax.random.PRNGKey(11)
+
+    import dataclasses
+    noisy = NeRFNet(dataclasses.replace(fused.cfg, raw_noise_std=0.6,
+                                        perturb=1.0))
+    ga, ma = _fused_rgb_value_and_grads(noisy, params, batch, k, 1.0, 4.0, 1.0)
+    (_, mb), gb = jax.value_and_grad(
+        lambda p: rgb_loss_fn(noisy, p, batch, k, 1.0, 4.0, 1.0),
+        has_aux=True)(params)
+    np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]), rtol=1e-6)
+    for (path, a), (_, b) in zip(jax.tree_util.tree_flatten_with_path(ga)[0],
+                                 jax.tree_util.tree_flatten_with_path(gb)[0]):
+        denom = np.abs(np.array(b)).max() + 1e-9
+        np.testing.assert_array_less(
+            np.abs(np.array(a) - np.array(b)).max() / denom, 1e-5,
+            err_msg=jax.tree_util.keystr(path))
+
+    # and the whole jitted step runs + decreases the loss
+    tx = optax.sgd(1e-2)
+    s = TrainState.create(params, tx)
+    step = make_rgb_train_step(noisy, 1.0, 4.0, donate=False)
+    s2, m2 = step(s, batch, k)
+    assert np.isfinite(float(m2["loss"]))
+    leaves_changed = any(
+        np.abs(np.array(x) - np.array(y)).max() > 0
+        for x, y in zip(jax.tree_util.tree_leaves(s.params),
+                        jax.tree_util.tree_leaves(s2.params)))
+    assert leaves_changed

@@ -216,7 +216,16 @@ def test_coarse_outputs_false_fine_maps_bit_equal(small_cfg_net, fused):
     assert not any(k.endswith("0") for k in lean)
     assert any(k.endswith("0") for k in full)
     for k in ("rgb", "disp", "acc", "depth", "semantics", "z_std"):
-        np.testing.assert_array_equal(np.array(full[k]), np.array(lean[k]), err_msg=k)
+        if fused:
+            # fused path: eval and train renders use different RAY_BLOCK
+            # sizes (adaptive vs bwd-VMEM-bound), so the per-ray segment-sum
+            # dot accumulates in different K groupings — same math, ulp-level
+            # wiggle allowed
+            np.testing.assert_allclose(np.array(full[k]), np.array(lean[k]),
+                                       rtol=2e-6, atol=1e-7, err_msg=k)
+        else:
+            np.testing.assert_array_equal(np.array(full[k]),
+                                          np.array(lean[k]), err_msg=k)
 
 
 def test_make_render_fn_defaults_to_lean_coarse(small_cfg_net):
