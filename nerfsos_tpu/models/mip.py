@@ -184,7 +184,8 @@ class MipNeRFNet:
     def render_rays(self, params, rays_o, rays_d, viewdirs, near, far, radii, key,
                     *, perturb: float, raw_noise_std: float,
                     n_samples: Optional[int] = None,
-                    n_importance: Optional[int] = None) -> Dict[str, jnp.ndarray]:
+                    n_importance: Optional[int] = None,
+                    train: bool = False) -> Dict[str, jnp.ndarray]:
         """Parity: reference ``models/mip_nerf_net.py:151-233``."""
         cfg = self.cfg
         n_samples = cfg.n_samples if n_samples is None else n_samples
@@ -197,6 +198,40 @@ class MipNeRFNet:
         # fenceposts
         z_vals = sampling.stratified_sample(k_strat, near, far, n_samples,
                                             perturb=perturb, lindisp=cfg.lindisp)
+
+        # Fully-fused EVAL path: cast_rays + IPE + MLP + mip compositing in
+        # ONE kernel per pass (ops/pallas/fused_render.py) — no [9, N]
+        # Gaussian streams or layout relayouts touch HBM. Forward-only (no
+        # VJP) and noise-free; training (train=True) keeps the
+        # differentiable planar IPE field route.
+        if planar and not train and raw_noise_std == 0.0:
+            from nerfsos_tpu.ops.pallas import fused_render as fr
+
+            R = rays_o.shape[0]
+            odvr = jnp.concatenate(
+                [rays_o, rays_d, viewdirs,
+                 jnp.broadcast_to(jnp.asarray(radii, jnp.float32), (R, 1))],
+                axis=1)
+            maps0, w0 = fr.fused_mip_render_planar(
+                params["mip"], odvr, z_vals, cfg, self.ray_shape,
+                depth=cfg.netdepth)
+            ret = fr.finish_mip_maps(maps0, w0, cfg.white_bkgd)
+            if n_importance > 0:
+                ret0 = ret
+                weights_blur = blurpool_weights(w0)
+                z_mids = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+                z_all, z_samples = sampling.importance_sample(
+                    k_imp, z_mids, weights_blur, n_importance,
+                    det=(perturb == 0.0))
+                maps, w_fine = fr.fused_mip_render_planar(
+                    params["mip"], odvr, z_all, cfg, self.ray_shape,
+                    depth=cfg.netdepth)
+                ret = fr.finish_mip_maps(maps, w_fine, cfg.white_bkgd)
+                ret["z_std"] = jnp.std(z_samples, axis=-1)
+                for k, v in ret0.items():
+                    ret[k + "0"] = v
+            return ret
+
         raw, cf = self._field_pass(params, z_vals, rays_o, rays_d, viewdirs, radii, planar)
         ret = mip_volumetric_render(raw, z_vals, rays_d, raw_noise_std=raw_noise_std,
                                     white_bkgd=cfg.white_bkgd, noise_key=k_noise_c,
@@ -256,7 +291,7 @@ class MipNeRFNet:
             o, d, v, n, f, r, k = xs
             return self.render_rays(params, o, d, v, n, f, r, k,
                                     perturb=perturb, raw_noise_std=raw_noise_std,
-                                    **overrides)
+                                    train=train, **overrides)
 
         if cfg.remat:
             body = jax.checkpoint(body)

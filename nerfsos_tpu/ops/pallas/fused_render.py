@@ -943,3 +943,159 @@ def fused_rgb_train_grads(params: Dict[str, Any], odv: jnp.ndarray,
     if pad:
         maps, weights = maps[:R], weights[:R]
     return {"mlp": grads}, maps, weights
+
+
+# ---------------------------------------------------------------------------
+# mip-NeRF fused render (eval): cast_rays (stable conical frustums) + IPE +
+# MLP + mip compositing in one kernel per pass. Parity: reference
+# models/mip_nerf_net.py:44-233 (cast_rays) + models/renderer.py:98-152
+# (MipVolumetricRenderer: midpoint depths, NO far-padding of dists).
+# Forward-only — mip training keeps the custom-vjp planar IPE field kernel.
+# ---------------------------------------------------------------------------
+
+
+def _mip_render_kernel(
+    odvr_ref, z_ref, mt_pts_ref, ph_pts_ref, mt_dirs_ref, ph_dirs_ref, *refs,
+    depth: int, skips: Tuple[int, ...], compute_dtype, r_blk: int, s: int,
+    ray_shape: str,
+):
+    """One ray block: odvr [R_blk, 10] (o, d, viewdirs, radii columns),
+    z [R_blk, S+1] fenceposts -> maps [R_blk, 5] (w·sigmoid(rgb) x3, w·mids,
+    acc) + weights [R_blk, S]."""
+    from nerfsos_tpu.ops.pallas.fused_field import _ipe_in_kernel_pl
+
+    n_w = depth + 4
+    w_refs = refs[:n_w]
+    b_refs = refs[n_w:2 * n_w]
+    maps_ref, wout_ref = refs[2 * n_w], refs[2 * n_w + 1]
+    cd = compute_dtype
+    n = r_blk * s
+
+    rid, sid = _seg_ids(n, s)
+    odvr = _seg_broadcast(odvr_ref, rid, r_blk, 10)  # [10, N]
+    o3, d3, v3 = odvr[0:3], odvr[3:6], odvr[6:9]
+    radii = odvr[9:10]
+    t0 = jnp.concatenate([z_ref[r:r + 1, :-1] for r in range(r_blk)], axis=1
+                         ).astype(jnp.float32)
+    t1 = jnp.concatenate([z_ref[r:r + 1, 1:] for r in range(r_blk)], axis=1
+                         ).astype(jnp.float32)
+
+    # conical frustum -> diagonal Gaussian (stable form, reference :95-105)
+    if ray_shape == "cone":
+        mu = (t0 + t1) * 0.5
+        hw = (t1 - t0) * 0.5
+        denom = 3.0 * mu * mu + hw * hw
+        t_mean = mu + (2.0 * mu * hw * hw) / denom
+        t_var = (hw * hw) / 3.0 - (4.0 / 15.0) * (
+            (hw ** 4) * (12.0 * mu * mu - hw * hw) / (denom * denom))
+        r_var = (radii * radii) * ((mu * mu) / 4.0 + (5.0 / 12.0) * hw * hw
+                                   - (4.0 / 15.0) * (hw ** 4) / denom)
+    else:  # cylinder
+        t_mean = (t0 + t1) * 0.5
+        r_var = (radii * radii) / 4.0
+        t_var = (t1 - t0) ** 2 / 12.0
+
+    mean = o3 + d3 * t_mean  # [3, N]
+    d_mag_sq = jnp.maximum(1e-10, d3[0:1] ** 2 + d3[1:2] ** 2 + d3[2:3] ** 2)
+    d_outer = d3 * d3
+    cov = t_var * d_outer + r_var * (1.0 - d_outer / d_mag_sq)  # [3, N]
+
+    emb = _ipe_in_kernel_pl(mean, cov, mt_pts_ref[:]).astype(cd)
+    it = iter(range(n_w))
+    h = _mlp_trunk(emb, w_refs, b_refs, it, depth, skips, cd)
+
+    k_alpha, k_feat, k_views, k_rgb = next(it), next(it), next(it), next(it)
+    sigma = _mm_pl(h, w_refs[k_alpha][:], b_refs[k_alpha][:])  # [1, N] fp32
+    demb = _pe_in_kernel_pl(v3, mt_dirs_ref[:], ph_dirs_ref[:]).astype(cd)
+    feat = _mm_pl(h, w_refs[k_feat][:], b_refs[k_feat][:]).astype(cd)
+    hv = jnp.maximum(_mm_pl(jnp.concatenate([feat, demb], axis=0),
+                            w_refs[k_views][:], b_refs[k_views][:]), 0.0).astype(cd)
+    rgb_logits = _mm_pl(hv, w_refs[k_rgb][:], b_refs[k_rgb][:])
+
+    # mip composite: dists from fenceposts, NO far padding; depth uses mids
+    norm_d = jnp.sqrt(d3[0:1] ** 2 + d3[1:2] ** 2 + d3[2:3] ** 2)
+    dists = (t1 - t0) * norm_d
+    e = jnp.exp(-jnp.maximum(sigma, 0.0) * dists)
+    alpha = 1.0 - e
+    T = _seg_cumprod_excl(e + 1e-10, sid, s)
+    w = alpha * T
+    rgb = jax.nn.sigmoid(rgb_logits)
+    mids = (t0 + t1) * 0.5
+    vals = jnp.concatenate([w * rgb, w * mids, w], axis=0)  # [5, N]
+
+    seg = (jax.lax.broadcasted_iota(jnp.int32, (n, r_blk), 0) // s
+           == jax.lax.broadcasted_iota(jnp.int32, (n, r_blk), 1)
+           ).astype(jnp.float32)
+    maps_ref[:] = jax.lax.dot_general(seg, vals, (((0,), (1,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+    _store_rows(wout_ref, w, r_blk, s)
+
+
+def fused_mip_render_planar(params: Dict[str, Any], odvr: jnp.ndarray,
+                            z_vals: jnp.ndarray, cfg, ray_shape: str = "cone",
+                            depth: Optional[int] = None,
+                            interpret: Optional[bool] = None
+                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused mip pass: odvr [R, 10] (o, d, viewdirs, radii), z [R, S+1]
+    fenceposts -> (maps [R, 5], weights [R, S]). Eval-only (no VJP, no
+    noise)."""
+    from nerfsos_tpu.ops.pallas.fused_field import _ipe_consts_pl
+
+    mlp = params["mlp"]
+    depth = cfg.netdepth if depth is None else depth
+    ws, bs = _flatten_mlp_params(mlp, depth, False)
+    compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    S = z_vals.shape[-1] - 1
+    r_blk = _eval_ray_block(S)
+    (odvr,), z_vals, R, pad = _pad_rays([odvr], z_vals, r_blk)
+    n_blocks = z_vals.shape[0] // r_blk
+
+    ws = tuple(w.astype(compute_dtype) for w in ws)
+    bs_col = tuple(b.astype(jnp.float32).reshape(-1, 1) for b in bs)
+    pe_args = _ipe_consts_pl(cfg.multires, cfg.multires_views)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    full = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
+                                    memory_space=pltpu.VMEM)
+    maps, weights = pl.pallas_call(
+        functools.partial(
+            _mip_render_kernel, depth=depth, skips=(4,),
+            compute_dtype=compute_dtype, r_blk=r_blk, s=S,
+            ray_shape=ray_shape),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((r_blk, 10), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_blk, S + 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            *[full(a) for a in pe_args],
+            *[full(w) for w in ws],
+            *[full(b) for b in bs_col],
+        ],
+        out_specs=[
+            pl.BlockSpec((r_blk, 5), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_blk, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_blocks * r_blk, 5), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks * r_blk, S), jnp.float32),
+        ],
+        interpret=interpret,
+    )(odvr, z_vals, *pe_args, *ws, *bs_col)
+    if pad:
+        maps, weights = maps[:R], weights[:R]
+    return maps, weights
+
+
+def finish_mip_maps(maps: jnp.ndarray, weights: jnp.ndarray,
+                    white_bkgd: bool) -> Dict[str, jnp.ndarray]:
+    """Mip per-ray finishing (reference renderer.py:139-152)."""
+    rgb_map = maps[:, 0:3]
+    depth_map = maps[:, 3:4]
+    acc_map = maps[:, 4:5]
+    depth_map = jnp.where(acc_map <= 1e-10, 1e10, depth_map)
+    disp_map = 1.0 / jnp.maximum(1e-10, depth_map / acc_map)
+    out = dict(rgb=rgb_map, disp=disp_map, acc=acc_map, weights=weights,
+               depth=depth_map)
+    if white_bkgd:
+        out["rgb"] = rgb_map + (1.0 - acc_map)
+    return out

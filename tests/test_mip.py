@@ -159,7 +159,11 @@ def test_mip_planar_grads_match_xla(mip_net, key):
     tgt = jax.random.uniform(jax.random.PRNGKey(7), (9, 3))
 
     def loss(n, p):
-        out = n(p, rays, (1.0, 4.0), 0.001, key=jax.random.PRNGKey(2))
+        # train=True: gradients flow through the differentiable planar IPE
+        # field path (the fused eval render is forward-only); perturb=0
+        # keeps the sampling deterministic for the comparison
+        out = n(p, rays, (1.0, 4.0), 0.001, key=jax.random.PRNGKey(2),
+                train=True, perturb=0.0)
         return jnp.mean((out["rgb"] - tgt) ** 2) + jnp.mean((out["rgb0"] - tgt) ** 2)
 
     ga = jax.grad(lambda p: loss(net, p))(params)
@@ -359,3 +363,24 @@ def test_mip_sharded_eval_render_matches_unsharded(mip_net):
     for k in ref:
         np.testing.assert_allclose(np.asarray(ref[k]), np.asarray(got[k]),
                                    rtol=2e-6, atol=1e-7, err_msg=k)
+
+
+def test_mip_fused_eval_render_matches_field_path(mip_oracle_net, rng):
+    """The single-kernel mip eval render (fused_render.fused_mip_render_planar
+    via render_rays train=False) against the planar-field+XLA-composite
+    route, and transitively the numpy oracle."""
+    import dataclasses
+
+    net, params = mip_oracle_net
+    fused = MipNeRFNet(dataclasses.replace(net.cfg, fused_field=True))
+    o = rng.normal(size=(20, 3)).astype(np.float32)
+    d = rng.normal(size=(20, 3)).astype(np.float32)
+    rays = jnp.stack([jnp.array(o), jnp.array(d)])
+    a = net(params, rays, (1.0, 4.0), radii=0.003, train=False)
+    b = fused(params, rays, (1.0, 4.0), radii=0.003, train=False)
+    assert set(a.keys()) == set(b.keys())
+    for k in a:
+        tol = 5e-3 if k == "z_std" else 3e-5
+        np.testing.assert_allclose(np.array(a[k]), np.array(b[k]), atol=tol,
+                                   rtol=1e-2 if k == "z_std" else 1e-5,
+                                   err_msg=k)
