@@ -78,6 +78,35 @@ FLOPS_PER_RAY = {
 }
 
 
+def _pad128(k: int) -> int:
+    return ((k + 127) // 128) * 128
+
+
+def _padded(layers) -> int:
+    """FLOPs the MXU actually executes: K and N tile-pad to 128 lanes."""
+    return sum(2 * _pad128(k) * _pad128(n) for k, n in layers)
+
+
+def _layer_dims(sigma_only: bool, in_dim: int = 63, use_semantics: bool = True):
+    ls = [(in_dim, 256)] + [(256, 256)] * 6 + [(256 + in_dim, 256), (256, 1)]
+    if not sigma_only:
+        ls += [(256, 256), (283, 128), (128, 3)]
+        if use_semantics:
+            ls += [(256 + in_dim, 128), (128, 2)]
+    return ls
+
+
+# The shape's intrinsic ceiling: the flagship dims (63/319/283-wide inputs,
+# 1/3/2-wide heads) tile-pad by x1.188 on the MXU (x1.134 sigma-only) — at
+# the parity-fixed architecture, useful MFU cannot exceed 1/1.188 = 0.842.
+PADDED_FLOPS_PER_RAY = {
+    "render_eval": 64 * _padded(_layer_dims(True)) + 192 * _padded(_layer_dims(False)),
+    "render_full": 256 * _padded(_layer_dims(False)),
+    "train": 3 * 256 * _padded(_layer_dims(False)),
+    "mip_render": (63 + 190) * _padded(_layer_dims(False, 60, use_semantics=False)),
+}
+
+
 def bench_matmul_ceiling() -> float:
     """Achievable bf16 MXU rate on this chip: CHAINED big square dots inside
     one jit (a single dot is dominated by the tunnel's ~4 ms dispatch floor)
@@ -269,6 +298,14 @@ def main():
             return None
         return round(rps * FLOPS_PER_RAY[mode] / ceiling, 3)
 
+    def padded_util(rps, mode):
+        """MXU-executed (tile-padded) FLOPs per second / measured ceiling —
+        how close the kernels run to the machine, independent of the shape's
+        intrinsic x1.19 padding waste."""
+        if not (rps and ceiling):
+            return None
+        return round(rps * PADDED_FLOPS_PER_RAY[mode] / ceiling, 3)
+
     print(json.dumps({
         "metric": "flower_flagship_render_rays_per_sec_per_chip",
         "value": round(render_rps, 1),
@@ -283,6 +320,8 @@ def main():
         "render_full_mfu": mfu(render_full_rps, "render_full"),
         "train_mfu": mfu(train_rps, "train"),
         "mip_render_mfu": mfu(mip_rps, "mip_render"),
+        "render_eval_padded_util": padded_util(render_rps, "render_eval"),
+        "train_padded_util": padded_util(train_rps, "train"),
     }))
 
 

@@ -53,11 +53,12 @@ from nerfsos_tpu.ops.pallas.fused_field import (
 )
 
 # Rays per grid step (N_blk = RAY_BLOCK * S points through the MLP per step).
-# None = adaptive: target ~3072 points per block (fine S=192 -> 16 rays,
-# coarse S=64 -> 48) — measured 386.1k vs 378.9k rays/s at the fixed 8, and
-# the remote compiler rejects ~6144-point blocks (R_blk=32 at S=192).
+# None = adaptive: target ~4608 points per block (fine S=192 -> 24 rays,
+# coarse S=64 -> 72) — measured 388.1k vs 385.3k (3072) vs 378.9k (fixed 8)
+# rays/s in the same session (tools/perf_eval_block24.py); the remote
+# compiler rejects ~6144-point blocks (R_blk=32 at S=192).
 RAY_BLOCK: Optional[int] = None
-_EVAL_TARGET_N = 3072
+_EVAL_TARGET_N = 4608
 
 
 def _eval_ray_block(s: int) -> int:
@@ -394,7 +395,19 @@ def finish_maps(maps: jnp.ndarray, weights: jnp.ndarray, use_semantics: bool,
 # ---------------------------------------------------------------------------
 
 TRAIN_RAY_BLOCK: Optional[int] = None
-_DEF_TRAIN_RAY_BLOCK = 8  # block constraint: sublane dim must be 8-divisible
+# Adaptive rays/block for the train kernels: target ~1024 points per block.
+# Measured (tools/perf_train_block_sweep.py, one v5e): fine S=192 prefers 8
+# rays (1536 pts; 16/24 are slower), coarse S=64 prefers 16 rays (1024 pts:
+# grad path 62.3 -> 58.0 ms at R=32768; 48 rays regresses). The bwd VMEM
+# stack scales with pts/block, so the target stays at/below the fine pass's
+# proven 1536.
+_TRAIN_TARGET_N = 1024
+
+
+def _train_ray_block(s: int) -> int:
+    if TRAIN_RAY_BLOCK is not None:
+        return TRAIN_RAY_BLOCK
+    return max(8, (_TRAIN_TARGET_N // (8 * s)) * 8)
 
 
 def _seg_rev_cumsum_excl(u: jnp.ndarray, sid: jnp.ndarray, s: int) -> jnp.ndarray:
@@ -688,12 +701,6 @@ def _train_render_bwd_kernel(
         dcur = wd(w_refs[i][:], dpre)
 
 
-def _train_statics(cfg, depth):
-    compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-    r_blk = TRAIN_RAY_BLOCK or _DEF_TRAIN_RAY_BLOCK
-    return compute_dtype, r_blk
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12))
 def _train_render(ws, bs, odv, z_vals, seed, depth, skips, multires,
                   multires_views, use_semantics, sem_with_coord,
@@ -708,8 +715,8 @@ def _train_render_fwd_impl(ws, bs, odv, z_vals, seed, depth, skips, multires,
                            compute_dtype_name, noise_std,
                            interpret: Optional[bool] = None):
     compute_dtype = jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
-    r_blk = TRAIN_RAY_BLOCK or _DEF_TRAIN_RAY_BLOCK
     S = z_vals.shape[-1]
+    r_blk = _train_ray_block(S)
     (odv,), z_vals, R, pad = _pad_rays([odv], z_vals, r_blk)
     n_blocks = z_vals.shape[0] // r_blk
     ws_c = tuple(w.astype(compute_dtype) for w in ws)
@@ -762,8 +769,8 @@ def _train_render_bwd(depth, skips, multires, multires_views, use_semantics,
     ws, bs, odv, z_vals, seed = residuals
     dmaps, dweights = cots
     compute_dtype = jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
-    r_blk = TRAIN_RAY_BLOCK or _DEF_TRAIN_RAY_BLOCK
     S = z_vals.shape[-1]
+    r_blk = _train_ray_block(S)
     odv0, z0 = odv, z_vals
     (odv, dmaps, dweights), z_vals, R, pad = _pad_rays(
         [odv, dmaps, dweights], z_vals, r_blk)
@@ -877,8 +884,8 @@ def fused_rgb_train_grads(params: Dict[str, Any], odv: jnp.ndarray,
     if cfg.use_semantics:
         names += ["sem_0", "sem_1"]
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-    r_blk = TRAIN_RAY_BLOCK or _DEF_TRAIN_RAY_BLOCK
     S = z_vals.shape[-1]
+    r_blk = _train_ray_block(S)
     R = z_vals.shape[0]
     if noise_std > 0.0 and noise_key is not None:
         seed = jax.random.randint(noise_key, (1, 1), 0, 2 ** 31 - 1).astype(jnp.float32)

@@ -368,8 +368,30 @@ def main(args):
         else:
             restored = ckpt_lib.load_checkpoint(ckpt_path)
             global_step = int(restored["global_step"])
-            state = state.replace(params=restored["params"],
+            # Same merge semantics as the torch-ckpt path: strict load errors
+            # on missing/extra/shape-mismatched leaves (torch
+            # load_state_dict raises on size mismatch even at strict=False);
+            # --load_nostrict keeps the fresh init for such leaves (e.g.
+            # resuming an RGB pretrain into a --sem_with_coord SOS model,
+            # the reference SOS scripts' scenario).
+            merged = ckpt_lib.merge_params(state.params, restored["params"],
+                                           strict=not args.load_nostrict)
+            changed = any(
+                m is not r for m, r in zip(jax.tree_util.tree_leaves(merged),
+                                           jax.tree_util.tree_leaves(restored["params"]))
+            ) if jax.tree_util.tree_structure(merged) == jax.tree_util.tree_structure(restored["params"]) else True
+            state = state.replace(params=merged,
                                   step=jnp.asarray(global_step, jnp.int32))
+            if changed and "opt_state" in restored:
+                # params partially re-initialized: the saved Adam moments no
+                # longer line up leaf-for-leaf — keep fresh opt state, resume
+                # only the LR schedule
+                print("[resume] partial param load: skipping optimizer state")
+                restored = dict(restored)
+                restored.pop("opt_state", None)
+                state = state.replace(
+                    opt_state=fast_forward_schedule(state.opt_state, global_step)
+                )
             if "opt_state" in restored:
                 try:
                     state = state.replace(

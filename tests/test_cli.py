@@ -33,7 +33,7 @@ def scene(tmp_path_factory):
     return str(root), str(basedir)
 
 
-def _args(scene, basedir, *extra):
+def _args(scene, basedir, *extra, no_semantics=True):
     parser = run_nerf.create_arg_parser()
     base = [
         "--expname", "smoke", "--basedir", basedir,
@@ -45,8 +45,9 @@ def _args(scene, basedir, *extra):
         "--batch_size", "64", "--max_steps", "6",
         "--i_print", "3", "--i_weights", "5", "--i_testset", "100000",
         "--i_video", "100000", "--ray_chunk", "512", "--fast_mode",
-        "--no_semantics",
     ]
+    if no_semantics:
+        base.append("--no_semantics")
     args, _ = parser.parse_known_args(base + list(extra))
     return args
 
@@ -61,6 +62,28 @@ def test_cli_train_creates_run_dir_and_ckpt(scene):
     # final eval artifacts
     assert os.path.exists(os.path.join(run_dir, "eval", "log.json"))
     assert os.path.exists(os.path.join(run_dir, "tensorboard", "scalars.jsonl"))
+
+
+def test_cli_native_ckpt_shape_mismatch_resume(scene):
+    """Resuming a native checkpoint into a model with a re-shaped head:
+    strict load fails with a clear error (torch load_state_dict raises on
+    size mismatch even at strict=False, reference run_nerf.py:356); with
+    --load_nostrict the mismatched leaf keeps its fresh init and the saved
+    optimizer moments are skipped (the reference SOS scripts' resume
+    scenario: RGB pretrain -> --sem_with_coord finetune)."""
+    data, basedir = scene
+    run_nerf.main(_args(data, basedir, "--expname", "pre_sem",
+                        no_semantics=False))
+    ckpt = os.path.join(basedir, "pre_sem", "checkpoints", "last")
+    assert os.path.exists(ckpt)
+    # sem_0 input widens netwidth 16 -> 16+pe(2): shape mismatch vs the ckpt
+    resume = ["--expname", "ft_sem", "--sem_with_coord",
+              "--ckpt_path", ckpt, "--max_steps", "8"]
+    with pytest.raises(ValueError, match="shape mismatch"):
+        run_nerf.main(_args(data, basedir, *resume, no_semantics=False))
+    run_nerf.main(_args(data, basedir, *resume, "--load_nostrict",
+                        no_semantics=False))
+    assert os.path.exists(os.path.join(basedir, "ft_sem", "eval", "log.json"))
 
 
 def test_cli_eval_mode_resumes_latest(scene):
