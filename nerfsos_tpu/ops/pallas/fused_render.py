@@ -305,6 +305,8 @@ def fused_render_planar(params: Dict[str, Any], odv: jnp.ndarray,
             jax.ShapeDtypeStruct((n_blocks * r_blk, n_maps), jnp.float32),
             jax.ShapeDtypeStruct((n_blocks * r_blk, S), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(odv, z_vals, *pe_args, *ws, *bs_col)
     if pad:
@@ -351,6 +353,8 @@ def fused_coarse_weights_planar(params: Dict[str, Any], od: jnp.ndarray,
         out_specs=pl.BlockSpec((r_blk, S), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((z_vals.shape[0], S), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(od, z_vals, *pe_args, *ws, *bs_col)
     return weights[:R] if pad else weights
@@ -751,6 +755,8 @@ def _train_render_fwd_impl(ws, bs, odv, z_vals, seed, depth, skips, multires,
             jax.ShapeDtypeStruct((n_blocks * r_blk, n_maps), jnp.float32),
             jax.ShapeDtypeStruct((n_blocks * r_blk, S), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(odv, z_vals, seed, *pe_args, *ws_c, *bs_col)
     if pad:
@@ -1086,6 +1092,8 @@ def fused_mip_render_planar(params: Dict[str, Any], odvr: jnp.ndarray,
             jax.ShapeDtypeStruct((n_blocks * r_blk, 5), jnp.float32),
             jax.ShapeDtypeStruct((n_blocks * r_blk, S), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(odvr, z_vals, *pe_args, *ws, *bs_col)
     if pad:
