@@ -1059,7 +1059,12 @@ def fused_mip_render_planar(params: Dict[str, Any], odvr: jnp.ndarray,
     ws, bs = _flatten_mlp_params(mlp, depth, False)
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     S = z_vals.shape[-1] - 1
-    r_blk = _eval_ray_block(S)
+    # The mip kernel builds frustum Gaussians + the IPE in-kernel (much more
+    # VPU work and VMEM per point than the classic kernel) and prefers SMALL
+    # blocks: target 1536 pts measured 343.8k vs 337.2k (2048) vs 274.7k
+    # (the classic kernels' 4608) rays/s (tools/perf_mip_block.py, one v5e).
+    r_blk = (RAY_BLOCK if RAY_BLOCK is not None
+             else max(8, (1536 // (8 * S)) * 8))
     (odvr,), z_vals, R, pad = _pad_rays([odvr], z_vals, r_blk)
     n_blocks = z_vals.shape[0] // r_blk
 
