@@ -236,7 +236,7 @@ def bench_sos() -> float:
     )
     net = NeRFNet(cfg)
     params = net.init(jax.random.PRNGKey(0))
-    ext = VitExtractor("dino_vits16")
+    ext = VitExtractor("dino_vits16", dtype=jnp.bfloat16)
     dino_params = ext.init(jax.random.PRNGKey(1))
     sos_cfg = SOSConfig(batch_size=B, patch_size=P, patch_stride=stride)
     app = CorrelationLoss.from_params([0.18, 1, 0.46, 1], use_sim_matrix=True)

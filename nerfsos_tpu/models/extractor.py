@@ -55,6 +55,10 @@ class VitExtractor:
         small = ("s" in model_name.replace("dino_vit", "")) or ("small" in model_name)
         self.embed_dim = 384 if small else 768
         self.num_heads = 6 if small else 12
+        # f32 default = bit-parity with the torch reference; bf16 halves the
+        # on-chip forward (9.6 -> 5.7 ms at the SOS 8x224^2 shape, one v5e).
+        # Params stay f32 either way (param_dtype pinned in vit.py).
+        self.dtype = dtype
         self.vit = vit_lib.VisionTransformer(
             patch_size=self.patch_size, embed_dim=self.embed_dim,
             num_heads=self.num_heads, depth=12, dtype=dtype,

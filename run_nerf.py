@@ -211,10 +211,16 @@ def build_model(args):
 def build_dino(args):
     """Frozen DINO extractor; random-init fallback when no local weights."""
     import jax
+    import jax.numpy as jnp
 
     from nerfsos_tpu.models.extractor import VitExtractor
 
-    dino = VitExtractor("dino_vits16")
+    # DINO inference follows the field's compute dtype: f32 by default
+    # (torch parity); bf16 halves the extractor forward on the MXU. Features
+    # only feed the no-grad fd / sim-matrix inputs of the correlation losses.
+    dino = VitExtractor("dino_vits16",
+                        dtype=jnp.bfloat16 if args.compute_dtype == "bfloat16"
+                        else jnp.float32)
     if args.dino_ckpt and os.path.exists(args.dino_ckpt):
         dino.load_torch_checkpoint(args.dino_ckpt)
         print(f"> Loaded DINO weights from {args.dino_ckpt}")

@@ -154,6 +154,26 @@ def test_extractor_api_shapes():
     assert bool(jnp.all(jnp.isfinite(out["feat"])))
 
 
+def test_extractor_bf16_close_to_f32():
+    """bf16 extractor (the CLI's --compute_dtype bfloat16 wiring): params
+    stay f32, outputs track the f32 forward to bf16 rounding."""
+    f32 = VitExtractor("dino_vits16")
+    bf16 = VitExtractor("dino_vits16", dtype=jnp.bfloat16)
+    for e in (f32, bf16):
+        e.vit = vit_lib.VisionTransformer(patch_size=16, embed_dim=32, depth=2,
+                                          num_heads=2, pos_embed_size=224,
+                                          dtype=e.dtype)
+    params = f32.init(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    a = f32.get_vit_attn_feat(x, params=params)
+    b = bf16.get_vit_attn_feat(x, params=params)
+    assert b["feat"].dtype == jnp.float32 or b["feat"].dtype == jnp.bfloat16
+    ra = np.array(a["feat"], np.float32)
+    rb = np.array(b["feat"], np.float32)
+    denom = np.maximum(np.abs(ra), 1e-3)
+    assert np.median(np.abs(ra - rb) / denom) < 0.05
+
+
 def test_extractor_parity_with_torch_pipeline(converted):
     """Full get_vit_attn_feat vs a hand-rolled torch equivalent."""
     tm, fm, params = converted
