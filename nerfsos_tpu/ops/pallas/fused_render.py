@@ -78,23 +78,55 @@ def _rows_to_lanes(ref, r_blk: int, s: int) -> jnp.ndarray:
     return jnp.concatenate([ref[r:r + 1, :] for r in range(r_blk)], axis=1)
 
 
-def _seg_broadcast(ref, rid: jnp.ndarray, r_blk: int, n_ch: int) -> jnp.ndarray:
-    """[R_blk, C] per-ray VMEM block -> [C, N] per-point, exact fp32 masked
-    adds (these feed the PE phases, so no rounding is allowed).
+def _bcast_masks(r_blk: int, s: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """HOST-side one-hot mask pair threaded into the kernels as inputs.
 
-    NOT an MXU one-hot dot: the [R_blk,C]^T[R_blk,N] dot_general form
-    MISCOMPILES on this toolchain (fixed-z parity 0.7-1.0 rel on-chip while
-    CPU interpret passes — probed 2026-08-17; the probe-validated #7 form has
-    the contraction on the minor dim instead). The madd form is ~0.9 us per
-    1536-pt block on 1-of-8-sublane [1, N] vectors — acceptable."""
-    masks = [jnp.where(rid == r, 1.0, 0.0) for r in range(r_blk)]
-    rows = []
-    for c in range(n_ch):
-        acc = jnp.zeros_like(rid, jnp.float32)
-        for r in range(r_blk):
-            acc = acc + masks[r] * ref[r:r + 1, c:c + 1].astype(jnp.float32)
-        rows.append(acc)
-    return jnp.concatenate(rows, axis=0)
+    ``onehot [r_blk, N]``: onehot[r, p] = 1 iff p // s == r — per-ray ->
+    per-point broadcast via ``_bcast_dot``. ``seg [N, r_blk]``: its transpose
+    — per-point -> per-ray sums via the maps dot (kept in the ORIGINAL
+    contraction form so the MXU accumulation order, and therefore the
+    eval==train maps bit-equality, is unchanged). Passing both as inputs with
+    constant index maps builds them once per program instead of ~1.7k
+    vreg-ops of iota/compare/convert per grid step."""
+    n = r_blk * s
+    rid = jnp.arange(n, dtype=jnp.int32) // s
+    onehot = (jnp.arange(r_blk, dtype=jnp.int32)[:, None]
+              == rid[None, :]).astype(jnp.float32)
+    return onehot, onehot.T
+
+
+def _eye_pl(k: int) -> jnp.ndarray:
+    i = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+    return (i == j).astype(jnp.float32)
+
+
+def _transpose_small_pl(a: jnp.ndarray) -> jnp.ndarray:
+    """[r, c] -> [c, r] via an exact one-hot f32 contraction.
+
+    Mosaic cannot reshape/transpose across the lane/sublane boundary
+    in-kernel (remote-compiler crash, probed 2026-08-17), but a dot against
+    the identity is exact — every output element is a single 1.0 * x product
+    plus exact zero adds — and uses the tm contraction form
+    (dims (1,),(1,)) already validated on-chip by the train backward."""
+    return jax.lax.dot_general(_eye_pl(a.shape[1]), a.astype(jnp.float32),
+                               (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _bcast_dot(rows: jnp.ndarray, onehot: jnp.ndarray) -> jnp.ndarray:
+    """[C, r_blk] per-ray rows -> [C, N] per-point via the one-hot dot.
+
+    Exact fp32 (one product per output element; Mosaic f32 dots are exact),
+    in the wd contraction form (dims (1,),(0,)) validated on-chip by the
+    train backward. NOT a direct dot on the [R_blk, C] input block: that
+    [R_blk,C]^T[R_blk,N] contract-dim-0 form MISCOMPILES on this toolchain
+    (fixed-z parity 0.7-1.0 rel on-chip while CPU interpret passes — probed
+    2026-08-17); transpose via _transpose_small_pl first. Replaces r_blk * C
+    masked madds on 1-of-8-sublane [1, N] vectors (~2.2k vreg-ops per
+    4608-pt eval block) with ~N/128 MXU passes."""
+    return jax.lax.dot_general(rows, onehot, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
 
 
 def _seg_cumprod_excl(x: jnp.ndarray, sid: jnp.ndarray, s: int) -> jnp.ndarray:
@@ -143,7 +175,8 @@ def _mlp_trunk(emb, w_refs, b_refs, it, depth, skips, cd):
 
 
 def _render_kernel(
-    odv_ref, z_ref, mt_pts_ref, ph_pts_ref, mt_dirs_ref, ph_dirs_ref, *refs,
+    odv_ref, z_ref, oh_ref, seg_ref,
+    mt_pts_ref, ph_pts_ref, mt_dirs_ref, ph_dirs_ref, *refs,
     depth: int, skips: Tuple[int, ...], use_semantics: bool,
     sem_with_coord: bool, compute_dtype, r_blk: int, s: int,
 ):
@@ -151,6 +184,12 @@ def _render_kernel(
 
     Outputs: maps [R_blk, 5 + sem_dim] columns = (w·sigmoid(rgb) x3, w·z,
     w(=acc) [, w·sem x sem_dim]) and weights [R_blk, S].
+
+    Epilogue structure (round-3 close+): the per-ray -> per-point broadcast
+    rides exact one-hot dots (see _bcast_dot) and the viewdirs PE is computed
+    at PER-RAY width then broadcast — sin() on [F, r_blk] instead of [F, N]
+    lanes. Bit-identical to the madd/per-point formulation (same values into
+    the same ops); measured ~1.22x eval throughput at the flagship shape.
     """
     n_w = depth + 4 + (2 if use_semantics else 0)
     w_refs = refs[:n_w]
@@ -159,11 +198,13 @@ def _render_kernel(
     cd = compute_dtype
     n = r_blk * s
 
-    rid, sid = _seg_ids(n, s)
-    odv = _seg_broadcast(odv_ref, rid, r_blk, 9)  # [9, N]
+    _, sid = _seg_ids(n, s)
+    oh = oh_ref[:]
+    odv_t = _transpose_small_pl(odv_ref[:])      # [9, r_blk], exact
+    od6 = _bcast_dot(odv_t[0:6], oh)             # [6, N], exact
     z_flat = _rows_to_lanes(z_ref, r_blk, s).astype(jnp.float32)      # [1, N]
-    d3 = odv[3:6]
-    pts = odv[0:3] + d3 * z_flat
+    d3 = od6[3:6]
+    pts = od6[0:3] + d3 * z_flat
 
     emb = _pe_in_kernel_pl(pts, mt_pts_ref[:], ph_pts_ref[:]).astype(cd)
     it = iter(range(n_w))
@@ -179,7 +220,10 @@ def _render_kernel(
         sl = jnp.maximum(_mm_pl(sem_in, w_refs[k_s0][:], b_refs[k_s0][:]), 0.0).astype(cd)
         sem = _mm_pl(sl, w_refs[k_s1][:], b_refs[k_s1][:])  # [sem, N] fp32
 
-    demb = _pe_in_kernel_pl(odv[6:9], mt_dirs_ref[:], ph_dirs_ref[:]).astype(cd)
+    # viewdirs are per-ray constants: PE at [F, r_blk], broadcast after
+    # (exact — the sin inputs per point are identical either way).
+    demb_r = _pe_in_kernel_pl(odv_t[6:9], mt_dirs_ref[:], ph_dirs_ref[:])
+    demb = _bcast_dot(demb_r, oh).astype(cd)
     feat = _mm_pl(h, w_refs[k_feat][:], b_refs[k_feat][:]).astype(cd)
     hv = jnp.maximum(_mm_pl(jnp.concatenate([feat, demb], axis=0),
                             w_refs[k_views][:], b_refs[k_views][:]), 0.0).astype(cd)
@@ -193,19 +237,16 @@ def _render_kernel(
         rows.append(w * sem.astype(jnp.float32))
     vals = jnp.concatenate(rows, axis=0)  # [5 + sem, N]
 
-    seg = (jax.lax.broadcasted_iota(jnp.int32, (n, r_blk), 0) // s
-           == jax.lax.broadcasted_iota(jnp.int32, (n, r_blk), 1)
-           ).astype(jnp.float32)
     # maps as [R_blk, C] directly (transposed contraction — a [C, R_blk]
     # output block would have a non-128-divisible lane dim). Mosaic f32 x f32
     # dots are exact (no XLA default-precision bf16 rounding).
-    maps_ref[:] = jax.lax.dot_general(seg, vals, (((0,), (1,)), ((), ())),
+    maps_ref[:] = jax.lax.dot_general(seg_ref[:], vals, (((0,), (1,)), ((), ())),
                                       preferred_element_type=jnp.float32)
     _store_rows(wout_ref, w, r_blk, s)
 
 
 def _sigma_weights_kernel(
-    od_ref, z_ref, mt_pts_ref, ph_pts_ref, *refs,
+    od_ref, z_ref, oh_ref, mt_pts_ref, ph_pts_ref, *refs,
     depth: int, skips: Tuple[int, ...], compute_dtype, r_blk: int, s: int,
 ):
     """Coarse pass for eval: density trunk only -> quadrature weights block.
@@ -220,11 +261,11 @@ def _sigma_weights_kernel(
     cd = compute_dtype
     n = r_blk * s
 
-    rid, sid = _seg_ids(n, s)
-    od = _seg_broadcast(od_ref, rid, r_blk, 6)  # [6, N]
+    _, sid = _seg_ids(n, s)
+    od6 = _bcast_dot(_transpose_small_pl(od_ref[:]), oh_ref[:])  # [6, N]
     z_flat = _rows_to_lanes(z_ref, r_blk, s).astype(jnp.float32)
-    d3 = od[3:6]
-    pts = od[0:3] + d3 * z_flat
+    d3 = od6[3:6]
+    pts = od6[0:3] + d3 * z_flat
 
     emb = _pe_in_kernel_pl(pts, mt_pts_ref[:], ph_pts_ref[:]).astype(cd)
     h = emb
@@ -282,6 +323,7 @@ def fused_render_planar(params: Dict[str, Any], odv: jnp.ndarray,
         interpret = jax.default_backend() != "tpu"
 
     n_maps = 5 + (ws[-1].shape[-1] if cfg.use_semantics else 0)
+    onehot, seg = _bcast_masks(r_blk, S)
     full = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
                                     memory_space=pltpu.VMEM)
     maps, weights = pl.pallas_call(
@@ -293,6 +335,7 @@ def fused_render_planar(params: Dict[str, Any], odv: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((r_blk, 9), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((r_blk, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            full(onehot), full(seg),
             *[full(a) for a in pe_args],
             *[full(w) for w in ws],
             *[full(b) for b in bs_col],
@@ -308,7 +351,7 @@ def fused_render_planar(params: Dict[str, Any], odv: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(odv, z_vals, *pe_args, *ws, *bs_col)
+    )(odv, z_vals, onehot, seg, *pe_args, *ws, *bs_col)
     if pad:
         maps, weights = maps[:R], weights[:R]
     return maps, weights
@@ -336,6 +379,7 @@ def fused_coarse_weights_planar(params: Dict[str, Any], od: jnp.ndarray,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
+    onehot, _ = _bcast_masks(r_blk, S)
     full = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
                                     memory_space=pltpu.VMEM)
     weights = pl.pallas_call(
@@ -346,6 +390,7 @@ def fused_coarse_weights_planar(params: Dict[str, Any], od: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((r_blk, 6), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((r_blk, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            full(onehot),
             *[full(a) for a in pe_args],
             *[full(w) for w in ws],
             *[full(b) for b in bs_col],
@@ -356,7 +401,7 @@ def fused_coarse_weights_planar(params: Dict[str, Any], od: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(od, z_vals, *pe_args, *ws, *bs_col)
+    )(od, z_vals, onehot, *pe_args, *ws, *bs_col)
     return weights[:R] if pad else weights
 
 
@@ -406,6 +451,11 @@ TRAIN_RAY_BLOCK: Optional[int] = None
 # stack scales with pts/block, so the target stays at/below the fine pass's
 # proven 1536.
 _TRAIN_TARGET_N = 1024
+
+# Mip eval kernel's point-block target (see fused_mip_render_planar): the
+# in-kernel Gaussian + IPE build is VPU/VMEM-heavier than the classic kernel,
+# so its measured optimum is smaller than _EVAL_TARGET_N.
+_MIP_TARGET_N = 1536
 
 
 def _train_ray_block(s: int) -> int:
@@ -472,8 +522,8 @@ def _composite_lane(sigma, z_flat, d3, sid, s: int):
 
 
 def _train_render_kernel(
-    odv_ref, z_ref, seed_ref, mt_pts_ref, ph_pts_ref, mt_dirs_ref, ph_dirs_ref,
-    *refs,
+    odv_ref, z_ref, seed_ref, oh_ref, seg_ref,
+    mt_pts_ref, ph_pts_ref, mt_dirs_ref, ph_dirs_ref, *refs,
     depth: int, skips: Tuple[int, ...], use_semantics: bool,
     sem_with_coord: bool, compute_dtype, r_blk: int, s: int, noise_std: float,
 ):
@@ -485,11 +535,13 @@ def _train_render_kernel(
     cd = compute_dtype
     n = r_blk * s
 
-    rid, sid = _seg_ids(n, s)
-    odv = _seg_broadcast(odv_ref, rid, r_blk, 9)
+    _, sid = _seg_ids(n, s)
+    oh = oh_ref[:]
+    odv_t = _transpose_small_pl(odv_ref[:])
+    od6 = _bcast_dot(odv_t[0:6], oh)
     z_flat = _rows_to_lanes(z_ref, r_blk, s).astype(jnp.float32)
-    d3 = odv[3:6]
-    pts = odv[0:3] + d3 * z_flat
+    d3 = od6[3:6]
+    pts = od6[0:3] + d3 * z_flat
 
     emb = _pe_in_kernel_pl(pts, mt_pts_ref[:], ph_pts_ref[:]).astype(cd)
     it = iter(range(n_w))
@@ -507,7 +559,8 @@ def _train_render_kernel(
         sl = jnp.maximum(_mm_pl(sem_in, w_refs[k_s0][:], b_refs[k_s0][:]), 0.0).astype(cd)
         sem = _mm_pl(sl, w_refs[k_s1][:], b_refs[k_s1][:])
 
-    demb = _pe_in_kernel_pl(odv[6:9], mt_dirs_ref[:], ph_dirs_ref[:]).astype(cd)
+    demb_r = _pe_in_kernel_pl(odv_t[6:9], mt_dirs_ref[:], ph_dirs_ref[:])
+    demb = _bcast_dot(demb_r, oh).astype(cd)
     feat = _mm_pl(h, w_refs[k_feat][:], b_refs[k_feat][:]).astype(cd)
     hv = jnp.maximum(_mm_pl(jnp.concatenate([feat, demb], axis=0),
                             w_refs[k_views][:], b_refs[k_views][:]), 0.0).astype(cd)
@@ -520,16 +573,13 @@ def _train_render_kernel(
         rows.append(w * sem.astype(jnp.float32))
     vals = jnp.concatenate(rows, axis=0)
 
-    seg = (jax.lax.broadcasted_iota(jnp.int32, (n, r_blk), 0) // s
-           == jax.lax.broadcasted_iota(jnp.int32, (n, r_blk), 1)
-           ).astype(jnp.float32)
-    maps_ref[:] = jax.lax.dot_general(seg, vals, (((0,), (1,)), ((), ())),
+    maps_ref[:] = jax.lax.dot_general(seg_ref[:], vals, (((0,), (1,)), ((), ())),
                                       preferred_element_type=jnp.float32)
     _store_rows(wout_ref, w, r_blk, s)
 
 
 def _train_render_bwd_kernel(
-    odv_ref, z_ref, seed_ref, dmaps_ref, dwin_ref,
+    odv_ref, z_ref, seed_ref, dmaps_ref, dwin_ref, oh_ref, seg_ref,
     mt_pts_ref, ph_pts_ref, mt_dirs_ref, ph_dirs_ref, *refs,
     depth: int, skips: Tuple[int, ...], use_semantics: bool,
     sem_with_coord: bool, compute_dtype, r_blk: int, s: int, noise_std: float,
@@ -576,11 +626,13 @@ def _train_render_bwd_kernel(
         return jnp.where(act.astype(jnp.float32) > 0, d, 0.0)
 
     # ---- forward recompute ------------------------------------------------
-    rid, sid = _seg_ids(n, s)
-    odv = _seg_broadcast(odv_ref, rid, r_blk, 9)
+    _, sid = _seg_ids(n, s)
+    oh = oh_ref[:]
+    odv_t = _transpose_small_pl(odv_ref[:])
+    od6 = _bcast_dot(odv_t[0:6], oh)
     z_flat = _rows_to_lanes(z_ref, r_blk, s).astype(jnp.float32)
-    d3 = odv[3:6]
-    pts = odv[0:3] + d3 * z_flat
+    d3 = od6[3:6]
+    pts = od6[0:3] + d3 * z_flat
 
     emb = _pe_in_kernel_pl(pts, mt_pts_ref[:], ph_pts_ref[:]).astype(cd)
     it = iter(range(n_w))
@@ -606,7 +658,8 @@ def _train_render_bwd_kernel(
         s_act = jnp.maximum(_mm_pl(sem_in, w_refs[k_s0][:], b_refs[k_s0][:]), 0.0).astype(cd)
         sem = _mm_pl(s_act, w_refs[k_s1][:], b_refs[k_s1][:])
 
-    demb = _pe_in_kernel_pl(odv[6:9], mt_dirs_ref[:], ph_dirs_ref[:]).astype(cd)
+    demb_r = _pe_in_kernel_pl(odv_t[6:9], mt_dirs_ref[:], ph_dirs_ref[:])
+    demb = _bcast_dot(demb_r, oh).astype(cd)
     feat = _mm_pl(h, w_refs[k_feat][:], b_refs[k_feat][:]).astype(cd)
     hv_in = jnp.concatenate([feat, demb], axis=0)
     hv = jnp.maximum(_mm_pl(hv_in, w_refs[k_views][:], b_refs[k_views][:]), 0.0).astype(cd)
@@ -623,10 +676,7 @@ def _train_render_bwd_kernel(
         if use_semantics:
             rows.append(w * sem.astype(jnp.float32))
         vals = jnp.concatenate(rows, axis=0)
-        seg = (jax.lax.broadcasted_iota(jnp.int32, (n, r_blk), 0) // s
-               == jax.lax.broadcasted_iota(jnp.int32, (n, r_blk), 1)
-               ).astype(jnp.float32)
-        maps = jax.lax.dot_general(seg, vals, (((0,), (1,)), ((), ())),
+        maps = jax.lax.dot_general(seg_ref[:], vals, (((0,), (1,)), ((), ())),
                                    preferred_element_type=jnp.float32)
         maps_ref[:] = maps
         _store_rows(wout_ref, w, r_blk, s)
@@ -640,9 +690,9 @@ def _train_render_bwd_kernel(
         if use_semantics:
             cols.append(jnp.zeros((r_blk, sem.shape[0]), jnp.float32))
         dmaps_blk = jnp.concatenate(cols, axis=1)
-        dvals = _seg_broadcast(dmaps_blk, rid, r_blk, n_maps)
+        dvals = _bcast_dot(_transpose_small_pl(dmaps_blk), oh)
     else:
-        dvals = _seg_broadcast(dmaps_ref, rid, r_blk, n_maps)  # [n_maps, N]
+        dvals = _bcast_dot(_transpose_small_pl(dmaps_ref[:]), oh)  # [n_maps, N]
     dw = (dvals[0:1] * rgb[0:1] + dvals[1:2] * rgb[1:2] + dvals[2:3] * rgb[2:3]
           + dvals[3:4] * z_flat + dvals[4:5])
     if use_semantics:
@@ -730,6 +780,7 @@ def _train_render_fwd_impl(ws, bs, odv, z_vals, seed, depth, skips, multires,
         interpret = jax.default_backend() != "tpu"
 
     n_maps = 5 + (ws[-1].shape[-1] if use_semantics else 0)
+    onehot, seg = _bcast_masks(r_blk, S)
     full = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
                                     memory_space=pltpu.VMEM)
     maps, weights = pl.pallas_call(
@@ -743,6 +794,7 @@ def _train_render_fwd_impl(ws, bs, odv, z_vals, seed, depth, skips, multires,
             pl.BlockSpec((r_blk, 9), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((r_blk, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            full(onehot), full(seg),
             *[full(a) for a in pe_args],
             *[full(w) for w in ws_c],
             *[full(b) for b in bs_col],
@@ -758,7 +810,7 @@ def _train_render_fwd_impl(ws, bs, odv, z_vals, seed, depth, skips, multires,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(odv, z_vals, seed, *pe_args, *ws_c, *bs_col)
+    )(odv, z_vals, seed, onehot, seg, *pe_args, *ws_c, *bs_col)
     if pad:
         maps, weights = maps[:R], weights[:R]
     return maps, weights
@@ -792,6 +844,7 @@ def _train_render_bwd(depth, skips, multires, multires_views, use_semantics,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
+    onehot, seg = _bcast_masks(r_blk, S)
     full = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
                                     memory_space=pltpu.VMEM)
     acc2d = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
@@ -812,6 +865,7 @@ def _train_render_bwd(depth, skips, multires, multires_views, use_semantics,
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((r_blk, n_maps), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((r_blk, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            full(onehot), full(seg),
             *[full(a) for a in pe_args],
             *[full(w) for w in ws_c],
             *[full(b) for b in bs_col],
@@ -827,7 +881,7 @@ def _train_render_bwd(depth, skips, multires, multires_views, use_semantics,
         # doesn't use anyway).
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(odv, z_vals, seed, dmaps, dweights, *pe_args, *ws_c, *bs_col)
+    )(odv, z_vals, seed, dmaps, dweights, onehot, seg, *pe_args, *ws_c, *bs_col)
 
     n_w = len(ws)
     dws = tuple(outs[i].astype(ws[i].dtype) for i in range(n_w))
@@ -910,6 +964,7 @@ def fused_rgb_train_grads(params: Dict[str, Any], odv: jnp.ndarray,
         interpret = jax.default_backend() != "tpu"
 
     n_maps = 5 + (ws[-1].shape[-1] if cfg.use_semantics else 0)
+    onehot, seg = _bcast_masks(r_blk, S)
     full = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
                                     memory_space=pltpu.VMEM)
     acc2d = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
@@ -930,6 +985,7 @@ def fused_rgb_train_grads(params: Dict[str, Any], odv: jnp.ndarray,
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((r_blk, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((r_blk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            full(onehot), full(seg),
             *[full(a) for a in pe_args],
             *[full(w) for w in ws_c],
             *[full(b) for b in bs_col],
@@ -946,7 +1002,7 @@ def fused_rgb_train_grads(params: Dict[str, Any], odv: jnp.ndarray,
                       jax.ShapeDtypeStruct((z_vals.shape[0], S), jnp.float32)]),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(odv, z_vals, seed, gt, valid, *pe_args, *ws_c, *bs_col)
+    )(odv, z_vals, seed, gt, valid, onehot, seg, *pe_args, *ws_c, *bs_col)
 
     n_w = len(ws)
     grads = {nm: {"kernel": outs[i].astype(ws[i].dtype),
@@ -968,7 +1024,8 @@ def fused_rgb_train_grads(params: Dict[str, Any], odv: jnp.ndarray,
 
 
 def _mip_render_kernel(
-    odvr_ref, z_ref, mt_pts_ref, ph_pts_ref, mt_dirs_ref, ph_dirs_ref, *refs,
+    odvr_ref, z_ref, oh_ref, seg_ref,
+    mt_pts_ref, ph_pts_ref, mt_dirs_ref, ph_dirs_ref, *refs,
     depth: int, skips: Tuple[int, ...], compute_dtype, r_blk: int, s: int,
     ray_shape: str,
 ):
@@ -984,10 +1041,11 @@ def _mip_render_kernel(
     cd = compute_dtype
     n = r_blk * s
 
-    rid, sid = _seg_ids(n, s)
-    odvr = _seg_broadcast(odvr_ref, rid, r_blk, 10)  # [10, N]
-    o3, d3, v3 = odvr[0:3], odvr[3:6], odvr[6:9]
-    radii = odvr[9:10]
+    _, sid = _seg_ids(n, s)
+    oh = oh_ref[:]
+    odvr_t = _transpose_small_pl(odvr_ref[:])        # [10, r_blk], exact
+    odr = _bcast_dot(jnp.concatenate([odvr_t[0:6], odvr_t[9:10]], axis=0), oh)
+    o3, d3, radii = odr[0:3], odr[3:6], odr[6:7]     # [*, N], exact
     t0 = jnp.concatenate([z_ref[r:r + 1, :-1] for r in range(r_blk)], axis=1
                          ).astype(jnp.float32)
     t1 = jnp.concatenate([z_ref[r:r + 1, 1:] for r in range(r_blk)], axis=1
@@ -1019,7 +1077,9 @@ def _mip_render_kernel(
 
     k_alpha, k_feat, k_views, k_rgb = next(it), next(it), next(it), next(it)
     sigma = _mm_pl(h, w_refs[k_alpha][:], b_refs[k_alpha][:])  # [1, N] fp32
-    demb = _pe_in_kernel_pl(v3, mt_dirs_ref[:], ph_dirs_ref[:]).astype(cd)
+    # per-ray viewdirs PE, broadcast after (exact — see _render_kernel)
+    demb_r = _pe_in_kernel_pl(odvr_t[6:9], mt_dirs_ref[:], ph_dirs_ref[:])
+    demb = _bcast_dot(demb_r, oh).astype(cd)
     feat = _mm_pl(h, w_refs[k_feat][:], b_refs[k_feat][:]).astype(cd)
     hv = jnp.maximum(_mm_pl(jnp.concatenate([feat, demb], axis=0),
                             w_refs[k_views][:], b_refs[k_views][:]), 0.0).astype(cd)
@@ -1036,10 +1096,7 @@ def _mip_render_kernel(
     mids = (t0 + t1) * 0.5
     vals = jnp.concatenate([w * rgb, w * mids, w], axis=0)  # [5, N]
 
-    seg = (jax.lax.broadcasted_iota(jnp.int32, (n, r_blk), 0) // s
-           == jax.lax.broadcasted_iota(jnp.int32, (n, r_blk), 1)
-           ).astype(jnp.float32)
-    maps_ref[:] = jax.lax.dot_general(seg, vals, (((0,), (1,)), ((), ())),
+    maps_ref[:] = jax.lax.dot_general(seg_ref[:], vals, (((0,), (1,)), ((), ())),
                                       preferred_element_type=jnp.float32)
     _store_rows(wout_ref, w, r_blk, s)
 
@@ -1064,7 +1121,7 @@ def fused_mip_render_planar(params: Dict[str, Any], odvr: jnp.ndarray,
     # blocks: target 1536 pts measured 343.8k vs 337.2k (2048) vs 274.7k
     # (the classic kernels' 4608) rays/s (tools/perf_mip_block.py, one v5e).
     r_blk = (RAY_BLOCK if RAY_BLOCK is not None
-             else max(8, (1536 // (8 * S)) * 8))
+             else max(8, (_MIP_TARGET_N // (8 * S)) * 8))
     (odvr,), z_vals, R, pad = _pad_rays([odvr], z_vals, r_blk)
     n_blocks = z_vals.shape[0] // r_blk
 
@@ -1074,6 +1131,7 @@ def fused_mip_render_planar(params: Dict[str, Any], odvr: jnp.ndarray,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
+    onehot, seg = _bcast_masks(r_blk, S)
     full = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
                                     memory_space=pltpu.VMEM)
     maps, weights = pl.pallas_call(
@@ -1085,6 +1143,7 @@ def fused_mip_render_planar(params: Dict[str, Any], odvr: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((r_blk, 10), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((r_blk, S + 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            full(onehot), full(seg),
             *[full(a) for a in pe_args],
             *[full(w) for w in ws],
             *[full(b) for b in bs_col],
@@ -1100,7 +1159,7 @@ def fused_mip_render_planar(params: Dict[str, Any], odvr: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(odvr, z_vals, *pe_args, *ws, *bs_col)
+    )(odvr, z_vals, onehot, seg, *pe_args, *ws, *bs_col)
     if pad:
         maps, weights = maps[:R], weights[:R]
     return maps, weights

@@ -27,7 +27,7 @@ params = net.init(jax.random.PRNGKey(0))
 rays = jax.random.normal(jax.random.PRNGKey(1), (2, n, 3))
 
 for target in (1024, 1536, 2048):
-    fr._EVAL_TARGET_N = target
+    fr._MIP_TARGET_N = target
     try:
         render = jax.jit(lambda p, r: net(p, r, (1.2, 14.72), 0.001,
                                           train=False)["rgb"])
@@ -37,4 +37,4 @@ for target in (1024, 1536, 2048):
             f"S64->{fr._eval_ray_block(64)} S192->{fr._eval_ray_block(192)})")
     except Exception:
         log(f"mip target_n={target}: FAILED\n{traceback.format_exc(limit=3)}")
-fr._EVAL_TARGET_N = 4608
+fr._MIP_TARGET_N = 1536
