@@ -138,8 +138,14 @@ def sos_loss_fn(
             depth = _to_patches(out["depth"], B, Psz)  # FINE depth for both (:159-160)
             ray_o = _to_patches(batch["rays"][0], B, Psz)
             ray_d = _to_patches(batch["rays"][1], B, Psz)
-            g0 = cfg.Gcorrelation_w * geo_loss(k_geo0, depth, sem0, (ray_o, ray_d), sim_matrix)
-            g1 = cfg.Gcorrelation_w * geo_loss(k_geo1, depth, sem, (ray_o, ray_d), sim_matrix)
+            # paired evaluation: the point side (fd sweeps, row stats, depth
+            # filter, argmin negatives) is bit-identical across the coarse/
+            # fine heads — geo_loss.pair computes it once (falls back to two
+            # calls for key-dependent negative draws).
+            gp0, gp1 = geo_loss.pair(k_geo0, k_geo1, depth, sem0, sem,
+                                     (ray_o, ray_d), sim_matrix)
+            g0 = cfg.Gcorrelation_w * gp0
+            g1 = cfg.Gcorrelation_w * gp1
             loss = loss + g0 + g1
             metrics.update(geo_corr0=g0, geo_corr1=g1)
 
@@ -289,8 +295,26 @@ def sos_loss_fn_sharded(
             depth_f = jnp.where(depth_ng > maxd, max_under, depth_ng)
             pts = geo_loss.depth2pts(depth_f, ray_o, ray_d)
             pts_g = jax.lax.all_gather(pts, axis, axis=0, tiled=True)
-            g0 = cfg.Gcorrelation_w * geo_sharded(k_geo0, pts, sem0, pts_g, sem0_g)
-            g1 = cfg.Gcorrelation_w * geo_sharded(k_geo1, pts, sem, pts_g, sem_g)
+            if geo_loss.rand_neg:
+                # key-dependent negative permutations: keep independent draws
+                g0 = cfg.Gcorrelation_w * geo_sharded(k_geo0, pts, sem0, pts_g, sem0_g)
+                g1 = cfg.Gcorrelation_w * geo_sharded(k_geo1, pts, sem, pts_g, sem_g)
+            else:
+                # sim-matrix argmin negatives are key-independent — pair the
+                # coarse/fine evaluations so the fd sweeps run once
+                neg_idx = _rows(geo_loss.negative_index(k_geo0, B, sim_matrix),
+                                row0, Bl)
+                neg_pts = pts_g[neg_idx]
+                n0, n1 = geo_loss.helper_mean_pair(
+                    pts, neg_pts, sem0, sem0_g[neg_idx], sem, sem_g[neg_idx],
+                    geo_loss.neg_shift, axis=axis)
+                s0, s1 = geo_loss.helper_mean_pair(
+                    pts, pts, sem0, sem0, sem, sem, geo_loss.self_shift,
+                    axis=axis)
+                g0 = cfg.Gcorrelation_w * (geo_loss.neg_weight * n0
+                                           + geo_loss.self_weight * s0)
+                g1 = cfg.Gcorrelation_w * (geo_loss.neg_weight * n1
+                                           + geo_loss.self_weight * s1)
             loss = loss + g0 + g1
             metrics.update(geo_corr0=g0, geo_corr1=g1)
 

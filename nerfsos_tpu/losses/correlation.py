@@ -139,6 +139,16 @@ class CorrelationLoss:
         batch-global via pmean; the row mean stays per-row either way)."""
         return self.helper(f1, f2, c1, c2, shift, axis=axis).mean()
 
+    def helper_mean_pair(self, f1, f2, c1a, c2a, c1b, c2b, shift: float,
+                         axis: Optional[str] = None
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Two ``helper_mean`` results over the SAME feature pair (f1, f2)
+        with different code pairs — the SOS step's coarse/fine heads. Base
+        implementation just evaluates twice; ``GeoCorrelationLoss`` overrides
+        with a paired flash kernel that computes the shared fd side once."""
+        return (self.helper_mean(f1, f2, c1a, c2a, shift, axis=axis),
+                self.helper_mean(f1, f2, c1b, c2b, shift, axis=axis))
+
     def negative_index(self, key: jax.Array, batch: int,
                        sim_matrix: Optional[jnp.ndarray]) -> jnp.ndarray:
         if self.rand_neg:
@@ -224,6 +234,29 @@ class GeoCorrelationLoss(CorrelationLoss):
                                          shift, self.max_depth, axis=axis)
         return self.helper(f1, f2, c1, c2, shift, axis=axis).mean()
 
+    def helper_mean_pair(self, f1, f2, c1a, c2a, c1b, c2b, shift: float,
+                         axis: Optional[str] = None
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        from nerfsos_tpu.ops.pallas.flash_corr import (
+            flash_geo_helper_mean_pair, flash_supported)
+
+        H, W = f1.shape[-2], f1.shape[-1]
+        if (self.use_flash and self.pointwise and self.zero_clamp
+                and not self.stabilize and flash_supported(H * W)):
+            return flash_geo_helper_mean_pair(
+                f1, f2, _norm(c1a), _norm(c2a), _norm(c1b), _norm(c2b),
+                shift, self.max_depth, axis=axis)
+        return super().helper_mean_pair(f1, f2, c1a, c2a, c1b, c2b, shift,
+                                        axis=axis)
+
+    def _filtered_points(self, depth, batch_rays):
+        ray_o, ray_d = batch_rays[0], batch_rays[1]
+        # depth filter: values over max_depth clamp to the max value UNDER it,
+        # computed over the whole batch (reference ``:455``).
+        under = jnp.where(depth < self.max_depth, depth, -jnp.inf)
+        depth = jnp.where(depth > self.max_depth, jnp.max(under), depth)
+        return self.depth2pts(depth, ray_o, ray_d)
+
     def __call__(
         self,
         key: jax.Array,
@@ -232,13 +265,7 @@ class GeoCorrelationLoss(CorrelationLoss):
         batch_rays: Tuple[jnp.ndarray, jnp.ndarray],  # (ray_o, ray_d) [B, 3, P, P]
         sim_matrix: Optional[jnp.ndarray],
     ) -> jnp.ndarray:
-        ray_o, ray_d = batch_rays[0], batch_rays[1]
-        # depth filter: values over max_depth clamp to the max value UNDER it,
-        # computed over the whole batch (reference ``:455``).
-        under = jnp.where(depth < self.max_depth, depth, -jnp.inf)
-        depth = jnp.where(depth > self.max_depth, jnp.max(under), depth)
-
-        feats = self.depth2pts(depth, ray_o, ray_d)
+        feats = self._filtered_points(depth, batch_rays)
         code = orig_code
 
         neg_idx = self.negative_index(key, feats.shape[0], sim_matrix)
@@ -248,6 +275,42 @@ class GeoCorrelationLoss(CorrelationLoss):
         neg_loss = self.helper_mean(feats, neg_feats, code, neg_code, self.neg_shift)
         self_loss = self.helper_mean(feats, feats, code, code, self.self_shift)
         return self.neg_weight * neg_loss + self.self_weight * self_loss
+
+    def pair(
+        self,
+        key0: jax.Array,
+        key1: jax.Array,
+        depth: jnp.ndarray,        # [B, 1, P, P] rendered depth (FINE, shared)
+        code0: jnp.ndarray,        # [B, sem, P, P] coarse-head codes
+        code1: jnp.ndarray,        # fine-head codes
+        batch_rays: Tuple[jnp.ndarray, jnp.ndarray],
+        sim_matrix: Optional[jnp.ndarray],
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """``(self(key0, depth, code0, ...), self(key1, depth, code1, ...))``
+        computed with the point-side work shared.
+
+        The SOS step applies the geometry loss to the coarse AND fine semantic
+        heads against the SAME fine depth/rays (engines/sos.py; reference
+        trainer ``:159-160``): the back-projected points, the depth filter and
+        — when negatives come from the sim-matrix argmin — the negative index
+        are bit-identical across the two calls, so the paired flash kernels
+        evaluate the fd side once. Falls back to two independent calls when
+        the negative draw is key-dependent (``rand_neg`` or no sim matrix —
+        the keys then produce different permutations)."""
+        if self.rand_neg or sim_matrix is None:
+            return (self(key0, depth, code0, batch_rays, sim_matrix),
+                    self(key1, depth, code1, batch_rays, sim_matrix))
+
+        feats = self._filtered_points(depth, batch_rays)
+        neg_idx = self.negative_index(key0, feats.shape[0], sim_matrix)
+        neg_feats = feats[neg_idx]
+        n0, n1 = self.helper_mean_pair(feats, neg_feats,
+                                       code0, code0[neg_idx],
+                                       code1, code1[neg_idx], self.neg_shift)
+        s0, s1 = self.helper_mean_pair(feats, feats, code0, code0,
+                                       code1, code1, self.self_shift)
+        return (self.neg_weight * n0 + self.self_weight * s0,
+                self.neg_weight * n1 + self.self_weight * s1)
 
 
 def simclr_contrastive(emb_i: jnp.ndarray, emb_j: jnp.ndarray,

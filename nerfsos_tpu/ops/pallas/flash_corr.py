@@ -42,17 +42,23 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+# Row-block (sublane) size of the N x N sweeps. Grid-step overhead dominates
+# the tiny VPU tile compute (~8 vs ~0.6 us measured on v5e), so fewer/bigger
+# tiles win until VMEM pressure bites — sweepable knob, re-measure on chip
+# after kernel changes (tools/perf_flash_corr.py).
+_FLASH_BI = 128
+
+
 def _pick_blocks(n: int) -> Optional[Tuple[int, int]]:
     """(row block, col block) for an N x N pairwise sweep.
 
-    Grid-step overhead dominates the tiny VPU tile compute (~8 vs ~0.6 us
-    measured on v5e), so prefer FEW, WIDE tiles: full rows (lanes) up to 4096
-    and 128 sublanes — [128, 4096] fp32 is 2 MB, ~5 live copies fit VMEM.
+    Prefer FEW, WIDE tiles: full rows (lanes) up to 4096 and _FLASH_BI
+    sublanes — [128, 4096] fp32 is 2 MB, ~5 live copies fit VMEM.
     """
     bj = next((b for b in (4096, 2048, 1024, 512, 256, 128) if n % b == 0), None)
     if bj is None:
         return None
-    bi = 128
+    bi = _FLASH_BI if n % _FLASH_BI == 0 else 128
     return bi, bj
 
 
@@ -256,6 +262,179 @@ def _flash_geo_bwd(shift, max_depth, interpret, axis, residuals, g):
 
 
 _flash_geo_mean.defvjp(_flash_geo_fwd, _flash_geo_bwd)
+
+
+def _loss_kernel2(f1_ref, f2_ref, c1a_ref, c2a_ref, c1b_ref, c2b_ref,
+                  rowmean_ref, gmean_ref, out_ref, *, shift: float,
+                  max_depth: float):
+    """Paired loss sweep: ONE fd tile, TWO code-side correlations.
+
+    The SOS step evaluates the geometry loss for the coarse AND fine semantic
+    heads against the SAME point tensors (f-sides and negative index are
+    bit-identical when negatives come from the sim-matrix argmin) — pairing
+    halves the loss sweeps and their fd recompute. Each half accumulates into
+    its own SMEM cell in the same tile order as the unpaired kernel, so the
+    two sums are bit-equal to two separate calls."""
+    n, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+
+    @pl.when((n == 0) & (i == 0) & (j == 0))
+    def _():
+        out_ref[0, 0] = 0.0
+        out_ref[0, 1] = 0.0
+
+    fd = _fd_tile(f1_ref[0], f2_ref[0], max_depth)
+    fd2 = fd - rowmean_ref[0, :, 0:1] + (gmean_ref[0, 0] - shift)
+    cda = _cd_tile(c1a_ref[0], c2a_ref[0], max_depth)
+    out_ref[0, 0] += jnp.sum(-cda * fd2)
+    cdb = _cd_tile(c1b_ref[0], c2b_ref[0], max_depth)
+    out_ref[0, 1] += jnp.sum(-cdb * fd2)
+
+
+def _bwd_kernel2(f1_ref, f2_ref, c1a_ref, c2a_ref, c1b_ref, c2b_ref,
+                 rowmean_ref, gmean_ref, coeff_ref,
+                 dc1a_ref, dc2a_ref, dc1b_ref, dc2b_ref, *, shift: float,
+                 max_depth: float):
+    """Paired backward sweep: fd tile once, both halves' code cotangents.
+    Accumulator layouts as in _bwd_kernel (dc1 per-(n,i) block, dc2 full-array
+    [B, S, N] — N on lanes)."""
+    n, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    bj = f2_ref.shape[2]
+
+    @pl.when(j == 0)
+    def _():
+        dc1a_ref[:] = jnp.zeros_like(dc1a_ref)
+        dc1b_ref[:] = jnp.zeros_like(dc1b_ref)
+
+    @pl.when((n == 0) & (i == 0) & (j == 0))
+    def _():
+        dc2a_ref[:] = jnp.zeros_like(dc2a_ref)
+        dc2b_ref[:] = jnp.zeros_like(dc2b_ref)
+
+    fd = _fd_tile(f1_ref[0], f2_ref[0], max_depth)
+    fd2 = fd - rowmean_ref[0, :, 0:1] + (gmean_ref[0, 0] - shift)
+    S = c1a_ref.shape[2]
+    for c1_ref, c2_ref, coeff_col, dc1_ref, dc2_ref in (
+            (c1a_ref, c2a_ref, 0, dc1a_ref, dc2a_ref),
+            (c1b_ref, c2b_ref, 1, dc1b_ref, dc2b_ref)):
+        c1 = c1_ref[0]
+        c2 = c2_ref[0]
+        d = _l1_tile(c1, c2)
+        r = 1.0 / (d + 5e-2)
+        dd = jnp.where(r <= max_depth, coeff_ref[0, coeff_col] * fd2 * r * r, 0.0)
+        dc1_tile = jnp.concatenate(
+            [jnp.sum(dd * jnp.sign(c1[:, s:s + 1] - c2[s:s + 1, :]),
+                     axis=1, keepdims=True) for s in range(S)],
+            axis=1,
+        )
+        dc2_tile = jnp.concatenate(
+            [jnp.sum(dd * -jnp.sign(c1[:, s:s + 1] - c2[s:s + 1, :]),
+                     axis=0, keepdims=True) for s in range(S)],
+            axis=0,
+        )
+        dc1_ref[0, :, :] += dc1_tile
+        dc2_ref[n, :, pl.dslice(j * bj, bj)] += dc2_tile
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def _flash_geo_mean2(f1v, f2v, c1av, c2av, c1bv, c2bv, shift, max_depth,
+                     interpret, axis):
+    loss2, _ = _flash_geo_fwd2(f1v, f2v, c1av, c2av, c1bv, c2bv, shift,
+                               max_depth, interpret, axis)
+    return loss2
+
+
+def _flash_geo_fwd2(f1v, f2v, c1av, c2av, c1bv, c2bv, shift, max_depth,
+                    interpret, axis):
+    if interpret is None:
+        interpret = _interpret_default()
+    B, N, _ = f1v.shape
+    S = c1av.shape[-1]
+    bi, bj = _pick_blocks(N)
+    rowmean, gmean = _row_stats(f1v, f2v, max_depth, interpret)
+    if axis is not None:
+        gmean = jax.lax.pmean(gmean, axis)
+    grid, f1_spec, f2_spec, c1_spec, c2_spec, rm_spec, sc_spec = \
+        _grids_and_specs(B, N, bi, bj, S)
+    total2 = pl.pallas_call(
+        functools.partial(_loss_kernel2, shift=shift, max_depth=max_depth),
+        grid=grid,
+        in_specs=[f1_spec, f2_spec, c1_spec, c2_spec, c1_spec, c2_spec,
+                  rm_spec, sc_spec],
+        out_specs=pl.BlockSpec((1, 2), lambda n, i, j: (0, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 2), jnp.float32),
+        interpret=interpret,
+    )(f1v, f2v, c1av, c2av, c1bv, c2bv, rowmean, gmean.reshape(1, 1))
+    count = B * N * N
+    return total2[0] / count, (f1v, f2v, c1av, c2av, c1bv, c2bv, rowmean, gmean)
+
+
+def _flash_geo_bwd2(shift, max_depth, interpret, axis, residuals, g):
+    if interpret is None:
+        interpret = _interpret_default()
+    f1v, f2v, c1av, c2av, c1bv, c2bv, rowmean, gmean = residuals
+    B, N, _ = f1v.shape
+    S = c1av.shape[-1]
+    bi, bj = _pick_blocks(N)
+    grid, f1_spec, f2_spec, c1_spec, c2_spec, rm_spec, sc_spec = \
+        _grids_and_specs(B, N, bi, bj, S)
+    coeff2 = (g / (B * N * N)).astype(jnp.float32).reshape(1, 2)
+    sc2_spec = pl.BlockSpec((1, 2), lambda n, i, j: (0, 0),
+                            memory_space=pltpu.SMEM)
+    dc1_spec = pl.BlockSpec((1, bi, S), lambda n, i, j: (n, i, 0),
+                            memory_space=pltpu.VMEM)
+    dc2_spec = pl.BlockSpec((B, S, N), lambda n, i, j: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    dc1a, dc2a, dc1b, dc2b = pl.pallas_call(
+        functools.partial(_bwd_kernel2, shift=shift, max_depth=max_depth),
+        grid=grid,
+        in_specs=[f1_spec, f2_spec, c1_spec, c2_spec, c1_spec, c2_spec,
+                  rm_spec, sc_spec, sc2_spec],
+        out_specs=[dc1_spec, dc2_spec, dc1_spec, dc2_spec],
+        out_shape=[jax.ShapeDtypeStruct((B, N, S), jnp.float32),
+                   jax.ShapeDtypeStruct((B, S, N), jnp.float32),
+                   jax.ShapeDtypeStruct((B, N, S), jnp.float32),
+                   jax.ShapeDtypeStruct((B, S, N), jnp.float32)],
+        interpret=interpret,
+    )(f1v, f2v, c1av, c2av, c1bv, c2bv, rowmean, gmean.reshape(1, 1), coeff2)
+    return (jnp.zeros_like(f1v), jnp.zeros_like(f2v), dc1a, dc2a, dc1b, dc2b)
+
+
+_flash_geo_mean2.defvjp(_flash_geo_fwd2, _flash_geo_bwd2)
+
+
+def flash_geo_helper_mean_pair(
+    f1: jnp.ndarray,    # [B, C, H, W] raw back-projected points (C=3)
+    f2: jnp.ndarray,
+    c1n_a: jnp.ndarray,  # [B, S, H, W] channel-NORMALIZED codes, half a
+    c2n_a: jnp.ndarray,
+    c1n_b: jnp.ndarray,  # half b
+    c2n_b: jnp.ndarray,
+    shift: float,
+    max_depth: float,
+    interpret: Optional[bool] = None,
+    axis: Optional[str] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Two ``flash_geo_helper_mean`` results sharing one fd sweep.
+
+    Bit-equal to two separate calls (same tile order, separate accumulators)
+    at ~half the sweep cost — the f-sides and therefore fd, the row stats and
+    the recentering means are shared; only the code-side correlation and its
+    backward differ per half."""
+    B, C, H, W = f1.shape
+    N = H * W
+    S = c1n_a.shape[1]
+    f1v = f1.reshape(B, C, N).transpose(0, 2, 1)
+    f2v = f2.reshape(B, C, N)
+
+    def cv(c1n, c2n):
+        return (c1n.reshape(B, S, N).transpose(0, 2, 1), c2n.reshape(B, S, N))
+
+    c1av, c2av = cv(c1n_a, c2n_a)
+    c1bv, c2bv = cv(c1n_b, c2n_b)
+    out2 = _flash_geo_mean2(f1v, f2v, c1av, c2av, c1bv, c2bv, float(shift),
+                            float(max_depth), interpret, axis)
+    return out2[0], out2[1]
 
 
 def flash_geo_helper_mean(

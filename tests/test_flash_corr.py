@@ -95,3 +95,79 @@ def test_flash_fallback_on_unsupported_shapes(geo_inputs):
     v1 = flash(ks[5], depth, sem, (ray_o, ray_d), None)
     v2 = xla(ks[5], depth, sem, (ray_o, ray_d), None)
     np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+
+
+def test_flash_pair_matches_two_singles(geo_inputs):
+    """Paired kernels (shared fd sweep) == two independent flash calls —
+    values AND code-side gradients, bit-level tile-order equality."""
+    from nerfsos_tpu.ops.pallas.flash_corr import flash_geo_helper_mean_pair
+
+    ks, sem, depth, ray_o, ray_d, _ = geo_inputs
+    geo = GeoCorrelationLoss.from_params([0.5, 1, 3, 1])
+    pts = geo.depth2pts(depth, ray_o, ray_d)
+    neg_pts = jnp.roll(pts, 1, axis=0)
+    ca = sem
+    cb = jnp.roll(sem, 2, axis=0) * 1.7
+    ca2 = jnp.roll(ca, 1, axis=0)
+    cb2 = jnp.roll(cb, 1, axis=0)
+
+    def singles(c_a, c_a2, c_b, c_b2):
+        la = flash_geo_helper_mean(pts, neg_pts, _norm(c_a), _norm(c_a2),
+                                   3.0, geo.max_depth)
+        lb = flash_geo_helper_mean(pts, neg_pts, _norm(c_b), _norm(c_b2),
+                                   3.0, geo.max_depth)
+        return la, lb
+
+    def paired(c_a, c_a2, c_b, c_b2):
+        return flash_geo_helper_mean_pair(
+            pts, neg_pts, _norm(c_a), _norm(c_a2), _norm(c_b), _norm(c_b2),
+            3.0, geo.max_depth)
+
+    (la_s, lb_s) = singles(ca, ca2, cb, cb2)
+    (la_p, lb_p) = paired(ca, ca2, cb, cb2)
+    np.testing.assert_array_equal(np.asarray(la_p), np.asarray(la_s))
+    np.testing.assert_array_equal(np.asarray(lb_p), np.asarray(lb_s))
+
+    # asymmetric weights catch any cross-talk between the halves' cotangents
+    def loss_s(c_a, c_a2, c_b, c_b2):
+        la, lb = singles(c_a, c_a2, c_b, c_b2)
+        return 1.3 * la + 0.7 * lb
+
+    def loss_p(c_a, c_a2, c_b, c_b2):
+        la, lb = paired(c_a, c_a2, c_b, c_b2)
+        return 1.3 * la + 0.7 * lb
+
+    gs = jax.grad(loss_s, argnums=(0, 1, 2, 3))(ca, ca2, cb, cb2)
+    gp = jax.grad(loss_p, argnums=(0, 1, 2, 3))(ca, ca2, cb, cb2)
+    for a, b in zip(gs, gp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-8)
+
+
+@pytest.mark.parametrize("rand_neg", [False, True])
+def test_geo_pair_matches_two_calls(geo_inputs, rand_neg):
+    """GeoCorrelationLoss.pair == two __call__s for both the fused path
+    (sim-matrix negatives) and the key-dependent fallback (rand_neg)."""
+    ks, sem, depth, ray_o, ray_d, sim = geo_inputs
+    geo = GeoCorrelationLoss.from_params([0.5, 1, 3, 1], rand_neg=rand_neg)
+    code0 = sem
+    code1 = jnp.roll(sem, 1, axis=0) * 0.5 + 0.1
+    k0, k1 = ks[5], ks[6]
+
+    def two(c0, c1):
+        return (geo(k0, depth, c0, (ray_o, ray_d), sim),
+                geo(k1, depth, c1, (ray_o, ray_d), sim))
+
+    def fused(c0, c1):
+        return geo.pair(k0, k1, depth, c0, c1, (ray_o, ray_d), sim)
+
+    (g0_t, g1_t), (g0_p, g1_p) = two(code0, code1), fused(code0, code1)
+    np.testing.assert_allclose(float(g0_p), float(g0_t), rtol=1e-6)
+    np.testing.assert_allclose(float(g1_p), float(g1_t), rtol=1e-6)
+
+    w = lambda f: (lambda c0, c1: sum(x * s for x, s in zip(f(c0, c1), (1.3, 0.7))))
+    gt = jax.grad(w(two), argnums=(0, 1))(code0, code1)
+    gp = jax.grad(w(fused), argnums=(0, 1))(code0, code1)
+    for a, b in zip(gt, gp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-8)
