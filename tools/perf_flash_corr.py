@@ -113,6 +113,47 @@ for name, geo in (("flash", flash), ("xla", xla)):
     dt = bench.time_fn(g, sem, iters=4)
     log(f"geo corr fwd+bwd [{name}]: {dt*1e3:.1f} ms")
 
+# ---- paired path: on-chip parity + timing + _FLASH_BI sweep ---------------
+from nerfsos_tpu.ops.pallas import flash_corr as fc
+
+
+def two_calls(s0, s1):
+    return (flash(ks[5], depth, s0, (ray_o, ray_d), sim),
+            flash(ks[6], depth, s1, (ray_o, ray_d), sim))
+
+
+def paired(s0, s1):
+    return flash.pair(ks[5], ks[6], depth, s0, s1, (ray_o, ray_d), sim)
+
+
+sem1 = jax.random.normal(ks[7], (B, S, P, P))
+(t0, t1) = jax.jit(two_calls)(sem, sem1)
+(p0, p1) = jax.jit(paired)(sem, sem1)
+rel0 = abs(float(p0) - float(t0)) / (abs(float(t0)) + 1e-12)
+rel1 = abs(float(p1) - float(t1)) / (abs(float(t1)) + 1e-12)
+log(f"on-chip paired vs two singles: rel {rel0:.2e} / {rel1:.2e}")
+assert rel0 < 1e-6 and rel1 < 1e-6, "ON-CHIP PAIR PARITY FAIL"
+
+wsum = lambda f: (lambda s0, s1: sum(x * w for x, w in zip(f(s0, s1), (1.3, 0.7))))
+gt = jax.jit(jax.grad(wsum(two_calls), argnums=(0, 1)))(sem, sem1)
+gp = jax.jit(jax.grad(wsum(paired), argnums=(0, 1)))(sem, sem1)
+for a, b in zip(gt, gp):
+    r = float(np.linalg.norm(np.asarray(a) - np.asarray(b))
+              / (np.linalg.norm(np.asarray(a)) + 1e-12))
+    log(f"  paired grad rel {r:.2e}")
+    assert r < 1e-4, "ON-CHIP PAIR GRAD FAIL"
+
+for bi in (128, 256, 512):
+    fc._FLASH_BI = bi
+    try:
+        g2 = jax.jit(jax.grad(wsum(paired), argnums=(0, 1)))
+        dt = bench.time_fn(g2, sem, sem1, iters=4)
+        log(f"paired geo fwd+bwd [_FLASH_BI={bi}]: {dt*1e3:.1f} ms "
+            f"(vs two singles at 128: see above x2)")
+    except Exception as e:
+        log(f"paired geo [_FLASH_BI={bi}]: FAILED {type(e).__name__}")
+fc._FLASH_BI = 128
+
 # ---- full SOS step --------------------------------------------------------
 sos_rps = bench.bench_sos()
 log(f"sos step with flash geo: {sos_rps:,.0f} rays/s")
