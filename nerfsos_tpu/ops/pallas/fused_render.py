@@ -20,14 +20,18 @@ kernel (plain `[R_blk,S] <-> [1, R_blk*S]` reshapes crash the remote compiler
 primitives validated on-chip by ``tools/probe_lane_ops.py``:
 
 - segment id / sample id from ``broadcasted_iota`` (+ mod/div by static S);
-- per-ray -> per-point broadcast via R_blk unrolled masked multiply-adds
-  (exact fp32 — these feed the PE trig, so no MXU rounding is allowed);
+- per-ray -> per-point broadcast via one-hot f32 dots at
+  ``precision=HIGHEST`` (these feed the PE trig, so no MXU rounding is
+  allowed — Mosaic's DEFAULT-precision f32 dot bf16-rounds its operands,
+  3.7e-3 max rel measured on-chip 2026-08-18, tools/debug_epilogue_tpu.py);
 - z rows -> lanes via unaligned lane-slice concat; weights back via
   per-row unaligned lane-slice stores;
 - transmittance = segmented exclusive cumprod: log2(S) masked doubling
   shifts (the in-kernel twin of core/scan_ops.cumprod_last);
-- per-ray sums = one [C, N] x [N, R_blk] one-hot dot (Mosaic f32 dots are
-  exact — unlike XLA's default-precision matmul there is no bf16 rounding).
+- per-ray sums = one [C, N] x [N, R_blk] one-hot dot, kept at default
+  precision: its bf16 product rounding lands on the FINAL output maps (the
+  historical ~4e-3 p50 parity floor) and changing it would break the
+  eval==train maps bit-equality contract.
 
 Parity: the composite math is ``core/render.volumetric_render`` exactly
 (reference ``models/renderer.py:21-85``): +1e-10 transmittance floor, 1e10
@@ -105,27 +109,36 @@ def _transpose_small_pl(a: jnp.ndarray) -> jnp.ndarray:
     """[r, c] -> [c, r] via an exact one-hot f32 contraction.
 
     Mosaic cannot reshape/transpose across the lane/sublane boundary
-    in-kernel (remote-compiler crash, probed 2026-08-17), but a dot against
-    the identity is exact — every output element is a single 1.0 * x product
-    plus exact zero adds — and uses the tm contraction form
-    (dims (1,),(1,)) already validated on-chip by the train backward."""
+    in-kernel (remote-compiler crash, probed 2026-08-17); a dot against the
+    identity in the tm contraction form (dims (1,),(1,)) works — but ONLY at
+    ``precision=HIGHEST``: Mosaic's default-precision f32 dot bf16-rounds
+    its operands on the way into the MXU (max rel 3.7e-3 == 2^-8, measured
+    on-chip 2026-08-18, tools/debug_epilogue_tpu.py probe A; interpret mode
+    is exact and hides it). These outputs feed the PE trig phases, where
+    bf16 position rounding is radians of phase error — HIGHEST's multi-pass
+    f32 lowering measured exactly 0.0 rel on-chip (probe E)."""
     return jax.lax.dot_general(_eye_pl(a.shape[1]), a.astype(jnp.float32),
                                (((1,), (1,)), ((), ())),
+                               precision=jax.lax.Precision.HIGHEST,
                                preferred_element_type=jnp.float32)
 
 
 def _bcast_dot(rows: jnp.ndarray, onehot: jnp.ndarray) -> jnp.ndarray:
     """[C, r_blk] per-ray rows -> [C, N] per-point via the one-hot dot.
 
-    Exact fp32 (one product per output element; Mosaic f32 dots are exact),
-    in the wd contraction form (dims (1,),(0,)) validated on-chip by the
-    train backward. NOT a direct dot on the [R_blk, C] input block: that
-    [R_blk,C]^T[R_blk,N] contract-dim-0 form MISCOMPILES on this toolchain
-    (fixed-z parity 0.7-1.0 rel on-chip while CPU interpret passes — probed
-    2026-08-17); transpose via _transpose_small_pl first. Replaces r_blk * C
-    masked madds on 1-of-8-sublane [1, N] vectors (~2.2k vreg-ops per
-    4608-pt eval block) with ~N/128 MXU passes."""
+    Exact fp32 — but only at ``precision=HIGHEST``: the default-precision
+    Mosaic f32 dot bf16-rounds operands into the MXU (3.7e-3 max rel
+    on-chip, tools/debug_epilogue_tpu.py probe B), and these outputs feed
+    the PE trig phases where that is radians of phase error. The wd
+    contraction form (dims (1,),(0,)); NOT a direct dot on the [R_blk, C]
+    input block: that [R_blk,C]^T[R_blk,N] contract-dim-0 form MISCOMPILES
+    on this toolchain (fixed-z parity 0.7-1.0 rel on-chip while CPU
+    interpret passes — probed 2026-08-17); transpose via
+    _transpose_small_pl first. Replaces r_blk * C masked madds on
+    1-of-8-sublane [1, N] vectors (~2.2k vreg-ops per 4608-pt eval block)
+    with a few MXU passes."""
     return jax.lax.dot_general(rows, onehot, (((1,), (0,)), ((), ())),
+                               precision=jax.lax.Precision.HIGHEST,
                                preferred_element_type=jnp.float32)
 
 

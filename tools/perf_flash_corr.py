@@ -146,7 +146,8 @@ for a, b in zip(gt, gp):
 for bi in (128, 256, 512):
     fc._FLASH_BI = bi
     try:
-        g2 = jax.jit(jax.grad(wsum(paired), argnums=(0, 1)))
+        _g2 = jax.jit(jax.grad(wsum(paired), argnums=(0, 1)))
+        g2 = lambda a, b: sum(jnp.sum(x) for x in _g2(a, b))
         dt = bench.time_fn(g2, sem, sem1, iters=4)
         log(f"paired geo fwd+bwd [_FLASH_BI={bi}]: {dt*1e3:.1f} ms "
             f"(vs two singles at 128: see above x2)")
