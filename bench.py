@@ -129,6 +129,11 @@ def bench_matmul_ceiling() -> float:
     return rate
 
 
+def _touch_params(params) -> jnp.ndarray:
+    """Scalar depending on every leaf — forces the whole update to execute."""
+    return sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(params))
+
+
 def time_fn(fn, *args, iters=6, warmup=2):
     def run(n):
         acc = 0.0
@@ -209,8 +214,13 @@ def bench_train() -> float:
              "masks": jnp.zeros((N_RAYS, 1))}
 
     def train_once(s, b, k):
+        # Touch EVERY updated leaf: fetching a single coarse param lets XLA
+        # dead-code-eliminate the fine backward pallas_call (the fine loss
+        # never feeds coarse grads — importance z is detached), which times
+        # a partial step (~34 ms vs the real ~113 ms at 16384 rays, measured
+        # on-chip 2026-08-18, tools/perf_epilogue_sweep.py note).
         new_s, _ = step(s, b, k)
-        return new_s.params["coarse"]["mlp"]["rgb_linear"]["kernel"]
+        return _touch_params(new_s.params)
 
     dt = time_fn(train_once, state, batch, jax.random.PRNGKey(2), iters=4)
     log(f"train: {dt*1e3:.1f} ms / {N_RAYS} rays = {N_RAYS/dt:,.0f} rays/s")
@@ -249,7 +259,7 @@ def bench_sos() -> float:
 
     def sos_once(s, dp, b, k):
         new_s, _ = step(s, dp, b, k)
-        return new_s.params["coarse"]["mlp"]["sem_0"]["kernel"]
+        return _touch_params(new_s.params)  # see bench_train: no partial-step DCE
 
     dt = time_fn(sos_once, state, dino_params, batch, jax.random.PRNGKey(3), iters=4)
     log(f"sos train: {dt*1e3:.1f} ms / {N} rays = {N/dt:,.0f} rays/s")

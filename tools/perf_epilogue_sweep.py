@@ -101,8 +101,13 @@ def main():
     key = jax.random.PRNGKey(2)
 
     def train_once(s):
+        # Touch EVERY updated leaf: fetching a single coarse param lets XLA
+        # dead-code-eliminate the fine backward pallas_call entirely (the
+        # fine loss never feeds coarse grads — z is detached), which made an
+        # earlier version of this sweep time a partial step (34 ms vs the
+        # real ~116 ms at N=16384).
         new_s, _ = step(s, batch, key)
-        return new_s.params["coarse"]["mlp"]["rgb_linear"]["kernel"]
+        return sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(new_s.params))
 
     default_train = fr._TRAIN_TARGET_N
     best = sweep("train", train_once, state, N, (1024, 1536, 2048),

@@ -171,8 +171,10 @@ def bench_step(noise_std=0.0, iters=4):
              "target": jnp.zeros((n, 3)), "masks": jnp.zeros((n, 1))}
 
     def train_once(s, b, k):
+        # Touch every leaf — a single coarse param lets XLA DCE the fine
+        # backward pallas_call (partial-step timing; see bench.py).
         new_s, m = step(s, b, k)
-        return new_s.params["coarse"]["mlp"]["rgb_linear"]["kernel"]
+        return sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(new_s.params))
 
     dt = time_fn(train_once, state, batch, jax.random.PRNGKey(2), iters=iters)
     log(f"train[noise={noise_std}, r_blk={fr.TRAIN_RAY_BLOCK or 8}]: "
