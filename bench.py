@@ -26,11 +26,14 @@ import jax.numpy as jnp
 
 A100_TORCH_RENDER_RAYS_PER_SEC = 50_000.0
 N_RAYS = 16384
-# Render measures a 65536-ray block (reachable via --ray_chunk 65536): the
-# planar kernels removed the 42.7x-padded buffers that used to OOM this
-# shape, and the bigger block amortizes grid/dispatch overhead
-# (341k -> 354k rays/s measured; tools/perf_planar_sweep.py).
-N_RAYS_RENDER = 65536
+# Render measures a 262144-ray block — exactly one 512x512 image per call
+# (reachable via --ray_chunk 262144): the planar kernels removed the
+# 42.7x-padded buffers that used to OOM far smaller shapes, and the bigger
+# block amortizes the ~6 ms per-call tail (65536 -> 131072 -> 262144 rays
+# measured 409.0k -> 416.7k -> 420.5k rays/s in one session, 2026-08-18,
+# /tmp/eval_bigblock experiment; tools/perf_planar_sweep.py has the older
+# 341k -> 354k story at 16384 -> 65536).
+N_RAYS_RENDER = 262144
 
 
 def log(*a):
