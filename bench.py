@@ -137,7 +137,15 @@ def _touch_params(params) -> jnp.ndarray:
     return sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(params))
 
 
-def time_fn(fn, *args, iters=6, warmup=2):
+def time_fn(fn, *args, iters=6, warmup=2, repeats=3):
+    """Best-of-``repeats`` group means of ``iters`` chained calls.
+
+    The axon tunnel's long-run variance band is wider than the nominal 5%
+    (identical train code measured 133.9 vs 144.9k rays/s twenty minutes
+    apart, 2026-08-18): interference noise only ever ADDS time, so the
+    minimum group mean is the estimator of the device's actual rate.
+    Measurement is seconds per group — compiles, not timing, dominate bench
+    wall-clock."""
     def run(n):
         acc = 0.0
         for _ in range(n):
@@ -145,9 +153,12 @@ def time_fn(fn, *args, iters=6, warmup=2):
         return float(acc)
 
     run(warmup)
-    t0 = time.perf_counter()
-    run(iters)
-    return (time.perf_counter() - t0) / iters
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        run(iters)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
 
 
 def bench_render(fused: bool, coarse_outputs: bool = False) -> float:

@@ -45,8 +45,17 @@ from jax.experimental.pallas import tpu as pltpu
 # Row-block (sublane) size of the N x N sweeps. Grid-step overhead dominates
 # the tiny VPU tile compute (~8 vs ~0.6 us measured on v5e), so fewer/bigger
 # tiles win until VMEM pressure bites — sweepable knob, re-measure on chip
-# after kernel changes (tools/perf_flash_corr.py).
-_FLASH_BI = 128
+# after kernel changes (tools/perf_flash_bi.py). Measured at the flagship SOS
+# shape (one v5e, 2026-08-19, paired fwd+bwd): 128 -> 13.11 ms, 256 ->
+# 12.11 ms, 512 -> 13.76 ms; in-step SOS 326.6 -> 321.1 ms same-session.
+_FLASH_BI = 256
+
+# The 256/512-row blocks overflow the default 16 MB VMEM scoped stack (the
+# paired backward holds ~5 fp32 [bi, 4096] temporaries); raise the cap like
+# fused_render.py does — the sequential-grid reduction pattern doesn't use
+# the pipelining headroom the default reserves. Without this, 256/512 fail
+# at RUNTIME on chip (session-3 sweep) while interpret mode passes.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
 def _pick_blocks(n: int) -> Optional[Tuple[int, int]]:
@@ -193,6 +202,7 @@ def _row_stats(f1v, f2v, max_depth, interpret):
         out_specs=pl.BlockSpec((1, bi, 1), lambda n, i, j: (n, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, N, 1), jnp.float32),
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(f1v, f2v)
     rowmean = rowsum / N
@@ -227,6 +237,7 @@ def _flash_geo_fwd(f1v, f2v, c1v, c2v, shift, max_depth, interpret, axis):
         out_specs=pl.BlockSpec((1, 1), lambda n, i, j: (0, 0),
                                memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(f1v, f2v, c1v, c2v, rowmean, gmean.reshape(1, 1))
     count = B * N * N
@@ -255,6 +266,7 @@ def _flash_geo_bwd(shift, max_depth, interpret, axis, residuals, g):
         ],
         out_shape=[jax.ShapeDtypeStruct((B, N, S), jnp.float32),
                    jax.ShapeDtypeStruct((B, S, N), jnp.float32)],
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(f1v, f2v, c1v, c2v, rowmean, gmean.reshape(1, 1), coeff)
     # fd is stop-gradient in the reference (no_grad): zero cotangents for f.
@@ -363,6 +375,7 @@ def _flash_geo_fwd2(f1v, f2v, c1av, c2av, c1bv, c2bv, shift, max_depth,
         out_specs=pl.BlockSpec((1, 2), lambda n, i, j: (0, 0),
                                memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((1, 2), jnp.float32),
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(f1v, f2v, c1av, c2av, c1bv, c2bv, rowmean, gmean.reshape(1, 1))
     count = B * N * N
@@ -395,6 +408,7 @@ def _flash_geo_bwd2(shift, max_depth, interpret, axis, residuals, g):
                    jax.ShapeDtypeStruct((B, S, N), jnp.float32),
                    jax.ShapeDtypeStruct((B, N, S), jnp.float32),
                    jax.ShapeDtypeStruct((B, S, N), jnp.float32)],
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(f1v, f2v, c1av, c2av, c1bv, c2bv, rowmean, gmean.reshape(1, 1), coeff2)
     return (jnp.zeros_like(f1v), jnp.zeros_like(f2v), dc1a, dc2a, dc1b, dc2b)

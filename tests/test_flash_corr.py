@@ -171,3 +171,33 @@ def test_geo_pair_matches_two_calls(geo_inputs, rand_neg):
     for a, b in zip(gt, gp):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-8)
+
+
+@pytest.mark.parametrize("bi", [256, 512])
+def test_flash_bi_blocks_match_default(bi, monkeypatch):
+    """Non-default row blocks (the VMEM-raised 256/512 tilings) == the default
+    128-block evaluation, value and gradient — only the tile partition of the
+    accumulated sums changes."""
+    from nerfsos_tpu.ops.pallas import flash_corr as fc
+
+    ks = jax.random.split(jax.random.PRNGKey(3), 5)
+    B, P, S = 2, 32, 2  # N = 1024: bi=512 is a real 2-row-block tiling
+    sem = jax.random.normal(ks[0], (B, S, P, P))
+    depth = jax.random.uniform(ks[1], (B, 1, P, P)) * 5 + 1
+    ray_o = jax.random.normal(ks[2], (B, 3, P, P))
+    ray_d = jax.random.normal(ks[3], (B, 3, P, P))
+    geo = GeoCorrelationLoss.from_params([0.5, 1, 3, 1])
+    pts = geo.depth2pts(depth, ray_o, ray_d)
+    neg = jnp.roll(pts, 1, axis=0)
+
+    def loss(c):
+        return flash_geo_helper_mean(pts, neg, _norm(c),
+                                     _norm(jnp.roll(c, 1, axis=0)),
+                                     3.0, geo.max_depth)
+
+    v_ref, g_ref = jax.value_and_grad(loss)(sem)
+    monkeypatch.setattr(fc, "_FLASH_BI", bi)
+    v, g = jax.value_and_grad(loss)(sem)
+    np.testing.assert_allclose(float(v), float(v_ref), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-8)
