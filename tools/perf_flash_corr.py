@@ -143,6 +143,7 @@ for a, b in zip(gt, gp):
     log(f"  paired grad rel {r:.2e}")
     assert r < 1e-4, "ON-CHIP PAIR GRAD FAIL"
 
+_default_bi = fc._FLASH_BI
 for bi in (128, 256, 512):
     fc._FLASH_BI = bi
     try:
@@ -153,7 +154,7 @@ for bi in (128, 256, 512):
             f"(vs two singles at 128: see above x2)")
     except Exception as e:
         log(f"paired geo [_FLASH_BI={bi}]: FAILED {type(e).__name__}")
-fc._FLASH_BI = 128
+fc._FLASH_BI = _default_bi
 
 # ---- full SOS step --------------------------------------------------------
 sos_rps = bench.bench_sos()
