@@ -256,7 +256,6 @@ def bench_sos() -> float:
     cfg = NeRFConfig(
         n_samples=64, n_importance=128, use_semantics=True, sem_with_coord=True,
         ray_block=N, remat=False, compute_dtype="bfloat16", fused_field=True,
-        field_bwd_block=768,  # largest SOS-compatible bwd block (run_nerf.py)
     )
     net = NeRFNet(cfg)
     params = net.init(jax.random.PRNGKey(0))
@@ -330,6 +329,16 @@ def main():
             return None
         return round(rps * PADDED_FLOPS_PER_RAY[mode] / ceiling, 3)
 
+    def per_tflop(rps):
+        """Ceiling-normalized throughput: rays/s per SAME-SESSION measured
+        matmul TFLOP. The axon tunnel's session band (identical train code
+        measured 133.9-144.9k rays/s across sessions) moves the raw numbers
+        and the ceiling together; dividing them out makes BENCH_rN.json
+        comparable round-over-round (VERDICT r3 #6)."""
+        if not (rps and ceiling):
+            return None
+        return round(rps / (ceiling / 1e12), 1)
+
     print(json.dumps({
         "metric": "flower_flagship_render_rays_per_sec_per_chip",
         "value": round(render_rps, 1),
@@ -346,6 +355,13 @@ def main():
         "mip_render_mfu": mfu(mip_rps, "mip_render"),
         "render_eval_padded_util": padded_util(render_rps, "render_eval"),
         "train_padded_util": padded_util(train_rps, "train"),
+        # ceiling-normalized (rays/s per same-session measured TFLOP): the
+        # cross-round comparable numbers — see per_tflop.
+        "render_eval_rays_per_tflop": per_tflop(render_rps),
+        "render_full_rays_per_tflop": per_tflop(render_full_rps),
+        "train_rays_per_tflop": per_tflop(train_rps),
+        "sos_train_rays_per_tflop": per_tflop(sos_rps),
+        "mip_render_rays_per_tflop": per_tflop(mip_rps),
     }))
 
 

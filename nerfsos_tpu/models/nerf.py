@@ -71,10 +71,12 @@ class NeRFConfig:
     # anything trainable sits upstream of the field inputs (e.g. a camera
     # transformer optimized through the render).
     field_input_grads: bool = False
-    # Override for the fused backward kernel's point-block (None = the kernel
-    # default, 1024 bf16). The SOS train program's extra operands push the
-    # backward's 16 MB VMEM stack 455 KB over at 1024 — SOS paths set 768
-    # (the largest SOS-compatible backward block that compiles).
+    # Override for fused_field's planar-VJP backward point-block (None = the
+    # kernel default, 1024 bf16). Only the paths that reach that VJP read it
+    # — today that is MIP training (the classic train path uses the fused
+    # render kernels, which size their own ray blocks). The round-2 SOS
+    # override (768) is retired: its compile failure was the 16 MB default
+    # VMEM scoped stack, now raised via CompilerParams where needed.
     field_bwd_block: Optional[int] = None
 
     @property

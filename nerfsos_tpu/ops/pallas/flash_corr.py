@@ -62,7 +62,9 @@ def _pick_blocks(n: int) -> Optional[Tuple[int, int]]:
     """(row block, col block) for an N x N pairwise sweep.
 
     Prefer FEW, WIDE tiles: full rows (lanes) up to 4096 and _FLASH_BI
-    sublanes — [128, 4096] fp32 is 2 MB, ~5 live copies fit VMEM.
+    sublanes — at the default 256 a [256, 4096] fp32 tile is 4 MB and the
+    paired backward holds ~5 of them live, which only fits because
+    _COMPILER_PARAMS raises the VMEM scoped-stack cap (see its comment).
     """
     bj = next((b for b in (4096, 2048, 1024, 512, 256, 128) if n % b == 0), None)
     if bj is None:

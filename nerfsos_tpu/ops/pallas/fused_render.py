@@ -82,6 +82,14 @@ def _rows_to_lanes(ref, r_blk: int, s: int) -> jnp.ndarray:
     return jnp.concatenate([ref[r:r + 1, :] for r in range(r_blk)], axis=1)
 
 
+def _lanes_to_rows(flat: jnp.ndarray, r_blk: int, s: int) -> jnp.ndarray:
+    """[1, R_blk*S] lanes (ray-major) -> [R_blk, S] rows; inverse of
+    _rows_to_lanes (same per-row unaligned lane slices, stacked on
+    sublanes — the lane<->sublane *reshape* Mosaic can't do directly)."""
+    return jnp.concatenate([flat[:, r * s:(r + 1) * s] for r in range(r_blk)],
+                           axis=0)
+
+
 def _bcast_masks(r_blk: int, s: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """HOST-side one-hot mask pair threaded into the kernels as inputs.
 

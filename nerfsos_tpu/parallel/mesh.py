@@ -7,7 +7,11 @@ replicated. Gradients are reduced by XLA-inserted ``psum`` over ICI — no
 explicit collectives in user code (GSPMD partitioning via jit shardings).
 
 Multi-host extension: call ``jax.distributed.initialize()`` before building
-the mesh; everything below is host-count agnostic.
+the mesh; everything below is host-count agnostic. Executable proof:
+``tools/dryrun_multihost.py`` (2-process CPU cluster, one DP train step in
+both gspmd and shard_map modes; run by ``tests/test_multihost.py``). The one
+extra piece multi-host user code needs is assembling global arrays with
+``jax.make_array_from_callback`` — see that script's ``globalize``.
 """
 from __future__ import annotations
 

@@ -190,21 +190,22 @@ def build_model(args):
     )
     if args.mipnerf:
         return MipNeRFNet(cfg), cfg
-    # Production TPU path: the fused Pallas field (forward + in-kernel VJP)
-    # lets the train step drop remat — 63.9k vs 37.7k rays/s train measured on
-    # one v5e. CPU keeps the XLA field (interpret-mode pallas is debug-only).
+    # Production TPU path: the fused Pallas render/train kernels (field +
+    # composite in one kernel per pass, in-kernel VJP) let the step drop
+    # remat entirely — see ops/pallas/fused_render.py and the round-3 numbers
+    # in README.md. CPU keeps the XLA field (interpret-mode pallas is
+    # debug-only). The old `field_bwd_block=768` SOS override is gone: the
+    # SOS/train path routes through fused_train_render_planar, which never
+    # reads it (the knob only affects fused_field's planar VJP — the mip
+    # train path), and the round-2 compile ceiling that motivated it was the
+    # 16 MB default VMEM scoped stack, raisable via CompilerParams.
     if jax.default_backend() == "tpu" and not args.no_fused_field:
         from nerfsos_tpu.ops.pallas.fused_field import supports_fused
 
         if supports_fused(cfg):
             import dataclasses as _dc
 
-            # SOS programs carry extra operands that push the fused backward
-            # over the compiler's limit at the default block 1024; 768 is the
-            # largest that compiles (355 -> 342 ms/step measured on v5e).
-            bwd_block = 768 if args.patch_tune else None
-            cfg = _dc.replace(cfg, fused_field=True, remat=False,
-                              field_bwd_block=bwd_block)
+            cfg = _dc.replace(cfg, fused_field=True, remat=False)
     return NeRFNet(cfg), cfg
 
 

@@ -344,8 +344,7 @@ def test_shard_map_sos_fused_planar_flash_matches_single_device():
     cfg = NeRFConfig(netwidth=32, netdepth=2, netwidth_fine=32, netdepth_fine=2,
                      n_samples=8, n_importance=8, multires=4, multires_views=2,
                      use_semantics=True, sem_with_coord=True, perturb=0.0,
-                     ray_block=B * P * P, fused_field=True,
-                     field_bwd_block=768)
+                     ray_block=B * P * P, fused_field=True)
     net = NeRFNet(cfg)
     assert net._planar_ok(jnp.zeros((1, 3)), False, False), \
         "config must route through the planar fused kernels"

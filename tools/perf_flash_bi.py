@@ -70,7 +70,11 @@ for bi in (128, 256, 512):
         results[bi] = dt
     except Exception as e:
         log(f"bi={bi}: FAILED {type(e).__name__}: {e}")
+        if bi == 128:
+            sys.exit("bi=128 (the parity reference) failed — aborting sweep")
 
+if not results:
+    sys.exit("all bi failed — nothing to compare")
 best = min(results, key=results.get)
 log(f"best bi = {best} ({results[best]*1e3:.2f} ms); SOS step at best:")
 fc._FLASH_BI = best
