@@ -127,8 +127,13 @@ def sos_loss_fn(
         if cfg.use_correlation:
             sem0 = _to_patches(out["semantics0"], B, Psz)
             sem = _to_patches(out["semantics"], B, Psz)
-            corr0 = cfg.correlation_w * app_loss(k_app0, feat, sem0, sim_matrix)
-            corr1 = cfg.correlation_w * app_loss(k_app1, feat, sem, sim_matrix)
+            # paired: both heads' appearance losses (4 helper evaluations)
+            # batch through one sampling + einsum chain, exact RNG streams
+            # preserved (CorrelationLoss.pair_heads)
+            a0, a1 = app_loss.pair_heads(k_app0, k_app1, feat, sem0, sem,
+                                         sim_matrix)
+            corr0 = cfg.correlation_w * a0
+            corr1 = cfg.correlation_w * a1
             loss = loss + corr0 + corr1
             metrics.update(corr0=corr0, corr1=corr1)
 
@@ -272,10 +277,51 @@ def sos_loss_fn_sharded(
             sem0_g = jax.lax.all_gather(sem0, axis, axis=0, tiled=True)
             sem_g = jax.lax.all_gather(sem, axis, axis=0, tiled=True)
 
+        def app_sharded_pair(k0, k1, feat_l, code0_l, code1_l, feat_g,
+                             code0_g, code1_g):
+            """Both heads' appearance losses, all four helper evaluations
+            batched (the shard-local twin of CorrelationLoss.pair_heads;
+            coordinate draws at GLOBAL shape from the shared keys, exact
+            per-call RNG streams)."""
+            F = app_loss.feature_samples
+            k1a, k2a, kn0 = jax.random.split(k0, 3)
+            k1b, k2b, _ = jax.random.split(k1, 3)
+            c1a, c1b, c2a, c2b = (
+                _rows(jax.random.uniform(k, (B, F, F, 2)) * 2.0 - 1.0,
+                      row0, Bl)
+                for k in (k1a, k1b, k2a, k2b))
+            neg_idx = _rows(app_loss.negative_index(kn0, B, sim_matrix),
+                            row0, Bl)
+            featn = feat_g[neg_idx]
+            coords = jnp.concatenate([c1a, c1b, c2a, c2b])
+            fs = app_loss.sample(
+                jnp.concatenate([feat_l, feat_l, featn, featn]), coords)
+            cs = app_loss.sample(
+                jnp.concatenate([code0_l, code1_l, code0_g[neg_idx],
+                                 code1_g[neg_idx]]), coords)
+            fa, fb, nfa, nfb = jnp.split(fs, 4)
+            ca, cb, nca, ncb = jnp.split(cs, 4)
+            m = app_loss._helper_means_grouped(
+                jnp.concatenate([fa, fb, fa, fb]),
+                jnp.concatenate([fa, fb, nfa, nfb]),
+                jnp.concatenate([ca, cb, ca, cb]),
+                jnp.concatenate([ca, cb, nca, ncb]),
+                (app_loss.self_shift, app_loss.self_shift,
+                 app_loss.neg_shift, app_loss.neg_shift), axis=axis)
+            return (app_loss.neg_weight * m[2] + app_loss.self_weight * m[0],
+                    app_loss.neg_weight * m[3] + app_loss.self_weight * m[1])
+
         if cfg.use_correlation:
             feat_g = jax.lax.all_gather(feat, axis, axis=0, tiled=True)
-            corr0 = cfg.correlation_w * app_sharded(k_app0, feat, sem0, feat_g, sem0_g)
-            corr1 = cfg.correlation_w * app_sharded(k_app1, feat, sem, feat_g, sem_g)
+            if app_loss.rand_neg:
+                # key-dependent negative permutations: independent draws
+                a0 = app_sharded(k_app0, feat, sem0, feat_g, sem0_g)
+                a1 = app_sharded(k_app1, feat, sem, feat_g, sem_g)
+            else:
+                a0, a1 = app_sharded_pair(k_app0, k_app1, feat, sem0, sem,
+                                          feat_g, sem0_g, sem_g)
+            corr0 = cfg.correlation_w * a0
+            corr1 = cfg.correlation_w * a1
             loss = loss + corr0 + corr1
             metrics.update(corr0=corr0, corr1=corr1)
 
@@ -300,17 +346,14 @@ def sos_loss_fn_sharded(
                 g0 = cfg.Gcorrelation_w * geo_sharded(k_geo0, pts, sem0, pts_g, sem0_g)
                 g1 = cfg.Gcorrelation_w * geo_sharded(k_geo1, pts, sem, pts_g, sem_g)
             else:
-                # sim-matrix argmin negatives are key-independent — pair the
-                # coarse/fine evaluations so the fd sweeps run once
+                # sim-matrix argmin negatives are key-independent — all four
+                # geometry sweeps (neg/self x coarse/fine heads) ride one
+                # kernel group (see GeoCorrelationLoss.quad)
                 neg_idx = _rows(geo_loss.negative_index(k_geo0, B, sim_matrix),
                                 row0, Bl)
-                neg_pts = pts_g[neg_idx]
-                n0, n1 = geo_loss.helper_mean_pair(
-                    pts, neg_pts, sem0, sem0_g[neg_idx], sem, sem_g[neg_idx],
-                    geo_loss.neg_shift, axis=axis)
-                s0, s1 = geo_loss.helper_mean_pair(
-                    pts, pts, sem0, sem0, sem, sem, geo_loss.self_shift,
-                    axis=axis)
+                n0, n1, s0, s1 = geo_loss.quad(
+                    pts, pts_g[neg_idx], sem0, sem0_g[neg_idx],
+                    sem, sem_g[neg_idx], axis=axis)
                 g0 = cfg.Gcorrelation_w * (geo_loss.neg_weight * n0
                                            + geo_loss.self_weight * s0)
                 g1 = cfg.Gcorrelation_w * (geo_loss.neg_weight * n1

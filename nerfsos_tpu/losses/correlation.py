@@ -61,6 +61,12 @@ def _gmean(x: jnp.ndarray, axis: Optional[str]) -> jnp.ndarray:
     return jax.lax.pmean(m, axis) if axis is not None else m
 
 
+def _gmean_grouped(x: jnp.ndarray, axis: Optional[str]) -> jnp.ndarray:
+    """Per-group batch-global means of a [G, ...] stack -> [G]."""
+    m = x.reshape(x.shape[0], -1).mean(axis=1)
+    return jax.lax.pmean(m, axis) if axis is not None else m
+
+
 def _pointwise_recenter(fd: jnp.ndarray, axis: Optional[str] = None) -> jnp.ndarray:
     """fd -= mean over last two dims; then recenter global mean to the old one
     (reference ``:316-319``). ``axis``: shard axis for the BATCH-global means
@@ -148,6 +154,81 @@ class CorrelationLoss:
         with a paired flash kernel that computes the shared fd side once."""
         return (self.helper_mean(f1, f2, c1a, c2a, shift, axis=axis),
                 self.helper_mean(f1, f2, c1b, c2b, shift, axis=axis))
+
+    def _helper_means_grouped(self, f1, f2, c1, c2,
+                              shifts: Sequence[float],
+                              axis: Optional[str] = None) -> jnp.ndarray:
+        """``[helper_mean(f1_g, f2_g, c1_g, c2_g, shifts[g]) for g]`` over G
+        groups stacked on the batch axis — one einsum/recenter chain instead
+        of G (the SOS step's four appearance evaluations were each a
+        separate XLA fusion group near the device launch floor). The
+        pointwise-recenter statistics and the final mean are computed
+        PER GROUP, so each entry equals its separate call (up to reduction-
+        order rounding). ``axis``: shard axis for the batch-global means."""
+        G = len(shifts)
+        fd = self.tensor_correlation(self.feat_transform(f1),
+                                     self.feat_transform(f2))
+        fd = fd.reshape((G, -1) + fd.shape[1:])  # [G, B, H, W, I, J]
+        if self.pointwise:
+            old = _gmean_grouped(fd, axis)
+            fd = fd - fd.mean(axis=(4, 5), keepdims=True)
+            fd = fd + (old - _gmean_grouped(fd, axis)).reshape(
+                (G,) + (1,) * (fd.ndim - 1))
+        fd = jax.lax.stop_gradient(fd)
+        cd = self.tensor_correlation(_norm(c1), _norm(c2))
+        if self.stabilize:
+            cd = jnp.clip(cd, self._clamp_min(), 0.8)
+        else:
+            cd = jnp.clip(cd, self._clamp_min(), None)
+        cd = cd.reshape(fd.shape)
+        sh = jnp.asarray(shifts, fd.dtype).reshape((G,) + (1,) * (fd.ndim - 1))
+        t = -cd * (fd - sh)
+        means = t.reshape(G, -1).mean(axis=1)
+        return jax.lax.pmean(means, axis) if axis is not None else means
+
+    def pair_heads(
+        self,
+        key0: jax.Array,
+        key1: jax.Array,
+        orig_feats: jnp.ndarray,   # [B, C, hf, wf] DINO patch features
+        code0: jnp.ndarray,        # [B, sem, P, P] coarse-head logits
+        code1: jnp.ndarray,        # fine-head logits
+        sim_matrix: Optional[jnp.ndarray],
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """``(self(key0, feats, code0, sim), self(key1, feats, code1, sim))``
+        with the grid sampling and all four helper evaluations batched.
+
+        The coordinate draws keep each call's exact RNG stream (same key
+        splits); with sim-matrix argmin mining the negative index is
+        key-independent and shared. Falls back to two calls when the
+        negative draw is key-dependent."""
+        if self.rand_neg or sim_matrix is None:
+            return (self(key0, orig_feats, code0, sim_matrix),
+                    self(key1, orig_feats, code1, sim_matrix))
+        B = orig_feats.shape[0]
+        shape = (B, self.feature_samples, self.feature_samples, 2)
+        k1a, k2a, _ = jax.random.split(key0, 3)
+        k1b, k2b, _ = jax.random.split(key1, 3)
+        coords = jnp.concatenate([
+            jax.random.uniform(k, shape) * 2.0 - 1.0
+            for k in (k1a, k1b, k2a, k2b)])
+        neg_idx = jnp.argmin(sim_matrix, axis=0)
+        featn = orig_feats[neg_idx]
+        fs = self.sample(jnp.concatenate([orig_feats, orig_feats,
+                                          featn, featn]), coords)
+        cs = self.sample(jnp.concatenate([code0, code1, code0[neg_idx],
+                                          code1[neg_idx]]), coords)
+        fa, fb, nfa, nfb = jnp.split(fs, 4)
+        ca, cb, nca, ncb = jnp.split(cs, 4)
+        m = self._helper_means_grouped(
+            jnp.concatenate([fa, fb, fa, fb]),
+            jnp.concatenate([fa, fb, nfa, nfb]),
+            jnp.concatenate([ca, cb, ca, cb]),
+            jnp.concatenate([ca, cb, nca, ncb]),
+            (self.self_shift, self.self_shift,
+             self.neg_shift, self.neg_shift))
+        return (self.neg_weight * m[2] + self.self_weight * m[0],
+                self.neg_weight * m[3] + self.self_weight * m[1])
 
     def negative_index(self, key: jax.Array, batch: int,
                        sim_matrix: Optional[jnp.ndarray]) -> jnp.ndarray:
@@ -304,13 +385,35 @@ class GeoCorrelationLoss(CorrelationLoss):
         feats = self._filtered_points(depth, batch_rays)
         neg_idx = self.negative_index(key0, feats.shape[0], sim_matrix)
         neg_feats = feats[neg_idx]
-        n0, n1 = self.helper_mean_pair(feats, neg_feats,
-                                       code0, code0[neg_idx],
-                                       code1, code1[neg_idx], self.neg_shift)
-        s0, s1 = self.helper_mean_pair(feats, feats, code0, code0,
-                                       code1, code1, self.self_shift)
+        n0, n1, s0, s1 = self.quad(feats, neg_feats, code0, code0[neg_idx],
+                                   code1, code1[neg_idx])
         return (self.neg_weight * n0 + self.self_weight * s0,
                 self.neg_weight * n1 + self.self_weight * s1)
+
+    def quad(self, feats, neg_feats, c0, c0_neg, c1, c1_neg,
+             axis: Optional[str] = None
+             ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """(neg_coarse, neg_fine, self_coarse, self_fine) — the SOS step's
+        four geometry helper_mean results. On the flash path all four ride
+        ONE kernel group (the neg/self sweeps stacked on the batch axis on
+        top of the round-3 coarse/fine fd pairing): 3 pallas sweeps per step
+        instead of 6, bit-equal sums. Falls back to the paired evaluation
+        otherwise."""
+        from nerfsos_tpu.ops.pallas.flash_corr import (
+            flash_geo_pair_quad, flash_supported)
+
+        H, W = feats.shape[-2], feats.shape[-1]
+        if (self.use_flash and self.pointwise and self.zero_clamp
+                and not self.stabilize and flash_supported(H * W)):
+            return flash_geo_pair_quad(
+                feats, neg_feats, _norm(c0), _norm(c0_neg), _norm(c1),
+                _norm(c1_neg), self.neg_shift, self.self_shift,
+                self.max_depth, axis=axis)
+        n0, n1 = self.helper_mean_pair(feats, neg_feats, c0, c0_neg,
+                                       c1, c1_neg, self.neg_shift, axis=axis)
+        s0, s1 = self.helper_mean_pair(feats, feats, c0, c0, c1, c1,
+                                       self.self_shift, axis=axis)
+        return n0, n1, s0, s1
 
 
 def simclr_contrastive(emb_i: jnp.ndarray, emb_j: jnp.ndarray,

@@ -419,6 +419,220 @@ def _flash_geo_bwd2(shift, max_depth, interpret, axis, residuals, g):
 _flash_geo_mean2.defvjp(_flash_geo_fwd2, _flash_geo_bwd2)
 
 
+def _loss_kernel_quad(f1_ref, f2_ref, c1a_ref, c2a_ref, c1b_ref, c2b_ref,
+                      rowmean_ref, gmean_ref, out_ref, *, shift_lo: float,
+                      shift_hi: float, max_depth: float, b_half: int):
+    """Quad loss sweep: the NEG and SELF sweeps of the SOS step batched on
+    the leading axis (rows [0, b_half) = neg with shift_lo, rows [b_half, 2*
+    b_half) = self with shift_hi), each with TWO code-side correlations
+    (coarse/fine heads). One pallas_call replaces two paired calls: the SOS
+    step's geometry loss drops from 6 kernel sweeps to 3 (1 rowstats + 1
+    loss + 1 bwd). Accumulation per output cell keeps the unpaired tile
+    order (pl.when-guarded adds), so each of the four sums is bit-equal to
+    its separate call."""
+    n, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    in_lo = n < b_half
+
+    @pl.when((n == 0) & (i == 0) & (j == 0))
+    def _():
+        for col in range(4):
+            out_ref[0, col] = 0.0
+
+    fd = _fd_tile(f1_ref[0], f2_ref[0], max_depth)
+    gm = jnp.where(in_lo, gmean_ref[0, 0], gmean_ref[0, 1])
+    sh = jnp.where(in_lo, shift_lo, shift_hi)
+    fd2 = fd - rowmean_ref[0, :, 0:1] + (gm - sh)
+    va = jnp.sum(-_cd_tile(c1a_ref[0], c2a_ref[0], max_depth) * fd2)
+    vb = jnp.sum(-_cd_tile(c1b_ref[0], c2b_ref[0], max_depth) * fd2)
+
+    @pl.when(in_lo)
+    def _():
+        out_ref[0, 0] += va
+        out_ref[0, 1] += vb
+
+    @pl.when(jnp.logical_not(in_lo))
+    def _():
+        out_ref[0, 2] += va
+        out_ref[0, 3] += vb
+
+
+def _bwd_kernel_quad(f1_ref, f2_ref, c1a_ref, c2a_ref, c1b_ref, c2b_ref,
+                     rowmean_ref, gmean_ref, coeff_ref,
+                     dc1a_ref, dc2a_ref, dc1b_ref, dc2b_ref, *,
+                     shift_lo: float, shift_hi: float, max_depth: float,
+                     b_half: int):
+    """Backward of the quad sweep (accumulator layouts as in _bwd_kernel;
+    coeff [1, 4] columns = (neg_a, neg_b, self_a, self_b))."""
+    n, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    bj = f2_ref.shape[2]
+    in_lo = n < b_half
+
+    @pl.when(j == 0)
+    def _():
+        dc1a_ref[:] = jnp.zeros_like(dc1a_ref)
+        dc1b_ref[:] = jnp.zeros_like(dc1b_ref)
+
+    @pl.when((n == 0) & (i == 0) & (j == 0))
+    def _():
+        dc2a_ref[:] = jnp.zeros_like(dc2a_ref)
+        dc2b_ref[:] = jnp.zeros_like(dc2b_ref)
+
+    fd = _fd_tile(f1_ref[0], f2_ref[0], max_depth)
+    gm = jnp.where(in_lo, gmean_ref[0, 0], gmean_ref[0, 1])
+    sh = jnp.where(in_lo, shift_lo, shift_hi)
+    fd2 = fd - rowmean_ref[0, :, 0:1] + (gm - sh)
+    S = c1a_ref.shape[2]
+    for c1_ref, c2_ref, lo_col, dc1_ref, dc2_ref in (
+            (c1a_ref, c2a_ref, 0, dc1a_ref, dc2a_ref),
+            (c1b_ref, c2b_ref, 1, dc1b_ref, dc2b_ref)):
+        c1 = c1_ref[0]
+        c2 = c2_ref[0]
+        d = _l1_tile(c1, c2)
+        r = 1.0 / (d + 5e-2)
+        co = jnp.where(in_lo, coeff_ref[0, lo_col], coeff_ref[0, 2 + lo_col])
+        dd = jnp.where(r <= max_depth, co * fd2 * r * r, 0.0)
+        dc1_tile = jnp.concatenate(
+            [jnp.sum(dd * jnp.sign(c1[:, s:s + 1] - c2[s:s + 1, :]),
+                     axis=1, keepdims=True) for s in range(S)],
+            axis=1,
+        )
+        dc2_tile = jnp.concatenate(
+            [jnp.sum(dd * -jnp.sign(c1[:, s:s + 1] - c2[s:s + 1, :]),
+                     axis=0, keepdims=True) for s in range(S)],
+            axis=0,
+        )
+        dc1_ref[0, :, :] += dc1_tile
+        dc2_ref[n, :, pl.dslice(j * bj, bj)] += dc2_tile
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+def _flash_geo_mean_quad(f1v, f2v, c1av, c2av, c1bv, c2bv, shift_lo, shift_hi,
+                         max_depth, interpret, axis):
+    loss4, _ = _flash_geo_fwd_quad(f1v, f2v, c1av, c2av, c1bv, c2bv, shift_lo,
+                                   shift_hi, max_depth, interpret, axis)
+    return loss4
+
+
+def _flash_geo_fwd_quad(f1v, f2v, c1av, c2av, c1bv, c2bv, shift_lo, shift_hi,
+                        max_depth, interpret, axis):
+    if interpret is None:
+        interpret = _interpret_default()
+    B2, N, _ = f1v.shape
+    b_half = B2 // 2
+    S = c1av.shape[-1]
+    bi, bj = _pick_blocks(N)
+    rowmean, _ = _row_stats(f1v, f2v, max_depth, interpret)
+    # per-half global means (each half is one helper_mean call's recenter)
+    gm = jnp.stack([jnp.mean(rowmean[:b_half]), jnp.mean(rowmean[b_half:])])
+    if axis is not None:
+        gm = jax.lax.pmean(gm, axis)
+    grid, f1_spec, f2_spec, c1_spec, c2_spec, rm_spec, sc_spec = \
+        _grids_and_specs(B2, N, bi, bj, S)
+    sc2_spec = pl.BlockSpec((1, 2), lambda n, i, j: (0, 0),
+                            memory_space=pltpu.SMEM)
+    total4 = pl.pallas_call(
+        functools.partial(_loss_kernel_quad, shift_lo=shift_lo,
+                          shift_hi=shift_hi, max_depth=max_depth,
+                          b_half=b_half),
+        grid=grid,
+        in_specs=[f1_spec, f2_spec, c1_spec, c2_spec, c1_spec, c2_spec,
+                  rm_spec, sc2_spec],
+        out_specs=pl.BlockSpec((1, 4), lambda n, i, j: (0, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 4), jnp.float32),
+        compiler_params=_COMPILER_PARAMS,
+        interpret=interpret,
+    )(f1v, f2v, c1av, c2av, c1bv, c2bv, rowmean, gm.reshape(1, 2))
+    count = b_half * N * N
+    return total4[0] / count, (f1v, f2v, c1av, c2av, c1bv, c2bv, rowmean, gm)
+
+
+def _flash_geo_bwd_quad(shift_lo, shift_hi, max_depth, interpret, axis,
+                        residuals, g):
+    if interpret is None:
+        interpret = _interpret_default()
+    f1v, f2v, c1av, c2av, c1bv, c2bv, rowmean, gm = residuals
+    B2, N, _ = f1v.shape
+    b_half = B2 // 2
+    S = c1av.shape[-1]
+    bi, bj = _pick_blocks(N)
+    grid, f1_spec, f2_spec, c1_spec, c2_spec, rm_spec, sc_spec = \
+        _grids_and_specs(B2, N, bi, bj, S)
+    coeff4 = (g / (b_half * N * N)).astype(jnp.float32).reshape(1, 4)
+    sc4_spec = pl.BlockSpec((1, 4), lambda n, i, j: (0, 0),
+                            memory_space=pltpu.SMEM)
+    sc2_spec = pl.BlockSpec((1, 2), lambda n, i, j: (0, 0),
+                            memory_space=pltpu.SMEM)
+    dc1_spec = pl.BlockSpec((1, bi, S), lambda n, i, j: (n, i, 0),
+                            memory_space=pltpu.VMEM)
+    dc2_spec = pl.BlockSpec((B2, S, N), lambda n, i, j: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    dc1a, dc2a, dc1b, dc2b = pl.pallas_call(
+        functools.partial(_bwd_kernel_quad, shift_lo=shift_lo,
+                          shift_hi=shift_hi, max_depth=max_depth,
+                          b_half=b_half),
+        grid=grid,
+        in_specs=[f1_spec, f2_spec, c1_spec, c2_spec, c1_spec, c2_spec,
+                  rm_spec, sc2_spec, sc4_spec],
+        out_specs=[dc1_spec, dc2_spec, dc1_spec, dc2_spec],
+        out_shape=[jax.ShapeDtypeStruct((B2, N, S), jnp.float32),
+                   jax.ShapeDtypeStruct((B2, S, N), jnp.float32),
+                   jax.ShapeDtypeStruct((B2, N, S), jnp.float32),
+                   jax.ShapeDtypeStruct((B2, S, N), jnp.float32)],
+        compiler_params=_COMPILER_PARAMS,
+        interpret=interpret,
+    )(f1v, f2v, c1av, c2av, c1bv, c2bv, rowmean, gm.reshape(1, 2), coeff4)
+    return (jnp.zeros_like(f1v), jnp.zeros_like(f2v), dc1a, dc2a, dc1b, dc2b)
+
+
+_flash_geo_mean_quad.defvjp(_flash_geo_fwd_quad, _flash_geo_bwd_quad)
+
+
+def flash_geo_pair_quad(
+    feats: jnp.ndarray,      # [B, C, H, W] raw back-projected points
+    neg_feats: jnp.ndarray,
+    c0n: jnp.ndarray,        # [B, S, H, W] channel-NORMALIZED coarse codes
+    c0n_neg: jnp.ndarray,
+    c1n: jnp.ndarray,        # fine codes
+    c1n_neg: jnp.ndarray,
+    shift_neg: float,
+    shift_self: float,
+    max_depth: float,
+    interpret: Optional[bool] = None,
+    axis: Optional[str] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """The SOS step's FOUR geometry helper_mean results in ONE kernel group.
+
+    Returns (neg_coarse, neg_fine, self_coarse, self_fine) — each bit-equal
+    to its ``flash_geo_helper_mean`` call. The neg sweep (feats x neg_feats)
+    and the self sweep (feats x feats) are stacked on the batch axis; the
+    coarse/fine heads share each sweep's fd tile (the round-3 pairing).
+    """
+    B, C, H, W = feats.shape
+    N = H * W
+    S = c0n.shape[1]
+
+    def fv(a, b):
+        return (a.reshape(B, C, N).transpose(0, 2, 1), b.reshape(B, C, N))
+
+    def cv(a, b):
+        return (a.reshape(B, S, N).transpose(0, 2, 1), b.reshape(B, S, N))
+
+    f1n, f2n = fv(feats, neg_feats)
+    f1s, f2s = fv(feats, feats)
+    c1an, c2an = cv(c0n, c0n_neg)
+    c1as, c2as = cv(c0n, c0n)
+    c1bn, c2bn = cv(c1n, c1n_neg)
+    c1bs, c2bs = cv(c1n, c1n)
+    out4 = _flash_geo_mean_quad(
+        jnp.concatenate([f1n, f1s]), jnp.concatenate([f2n, f2s]),
+        jnp.concatenate([c1an, c1as]), jnp.concatenate([c2an, c2as]),
+        jnp.concatenate([c1bn, c1bs]), jnp.concatenate([c2bn, c2bs]),
+        float(shift_neg), float(shift_self), float(max_depth), interpret,
+        axis)
+    return out4[0], out4[1], out4[2], out4[3]
+
+
 def flash_geo_helper_mean_pair(
     f1: jnp.ndarray,    # [B, C, H, W] raw back-projected points (C=3)
     f2: jnp.ndarray,

@@ -169,8 +169,10 @@ def test_geo_pair_matches_two_calls(geo_inputs, rand_neg):
     gt = jax.grad(w(two), argnums=(0, 1))(code0, code1)
     gp = jax.grad(w(fused), argnums=(0, 1))(code0, code1)
     for a, b in zip(gt, gp):
+        # atol 1e-7: the quad path's XLA-side cotangent combination (concat
+        # split + adds) reassociates sums vs the per-call path
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-6, atol=1e-8)
+                                   rtol=1e-6, atol=1e-7)
 
 
 @pytest.mark.parametrize("bi", [256, 512])
@@ -201,3 +203,92 @@ def test_flash_bi_blocks_match_default(bi, monkeypatch):
     np.testing.assert_allclose(float(v), float(v_ref), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
                                rtol=1e-5, atol=1e-8)
+
+
+def test_flash_quad_matches_four_singles(geo_inputs):
+    """Quad kernels (neg/self sweeps stacked on batch, coarse/fine heads
+    paired) == four independent flash calls — values bit-equal, grads exact.
+    This is the SOS step's one-kernel-group geometry loss."""
+    from nerfsos_tpu.ops.pallas.flash_corr import flash_geo_pair_quad
+
+    ks, sem, depth, ray_o, ray_d, _ = geo_inputs
+    geo = GeoCorrelationLoss.from_params([0.5, 1, 3, 1])
+    pts = geo.depth2pts(depth, ray_o, ray_d)
+    neg_pts = jnp.roll(pts, 1, axis=0)
+    c0 = sem
+    c1 = jnp.roll(sem, 2, axis=0) * 1.7
+    c0n = jnp.roll(c0, 1, axis=0)
+    c1n = jnp.roll(c1, 1, axis=0)
+
+    def singles(a0, a0n, a1, a1n):
+        return (
+            flash_geo_helper_mean(pts, neg_pts, _norm(a0), _norm(a0n),
+                                  10.0, geo.max_depth),
+            flash_geo_helper_mean(pts, neg_pts, _norm(a1), _norm(a1n),
+                                  10.0, geo.max_depth),
+            flash_geo_helper_mean(pts, pts, _norm(a0), _norm(a0),
+                                  3.0, geo.max_depth),
+            flash_geo_helper_mean(pts, pts, _norm(a1), _norm(a1),
+                                  3.0, geo.max_depth),
+        )
+
+    def quad(a0, a0n, a1, a1n):
+        return flash_geo_pair_quad(pts, neg_pts, _norm(a0), _norm(a0n),
+                                   _norm(a1), _norm(a1n), 10.0, 3.0,
+                                   geo.max_depth)
+
+    vs = singles(c0, c0n, c1, c1n)
+    vq = quad(c0, c0n, c1, c1n)
+    for s, q in zip(vs, vq):
+        np.testing.assert_array_equal(np.asarray(q), np.asarray(s))
+
+    # asymmetric weights catch cross-talk between the four accumulators
+    w = (1.3, 0.7, 0.41, 2.2)
+
+    def loss_s(a0, a0n, a1, a1n):
+        return sum(x * c for x, c in zip(singles(a0, a0n, a1, a1n), w))
+
+    def loss_q(a0, a0n, a1, a1n):
+        return sum(x * c for x, c in zip(quad(a0, a0n, a1, a1n), w))
+
+    gs = jax.grad(loss_s, argnums=(0, 1, 2, 3))(c0, c0n, c1, c1n)
+    gq = jax.grad(loss_q, argnums=(0, 1, 2, 3))(c0, c0n, c1, c1n)
+    for a, b in zip(gs, gq):
+        # values are bit-equal; the grads reassociate in the XLA-side
+        # concat-cotangent combination (~3e-8 abs observed)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.parametrize("rand_neg", [False, True])
+def test_app_pair_heads_matches_two_calls(geo_inputs, rand_neg):
+    """CorrelationLoss.pair_heads == two __call__s (batched sampling +
+    grouped helper), both for sim-matrix argmin mining and the rand_neg
+    fallback — values and code gradients."""
+    from nerfsos_tpu.losses.correlation import CorrelationLoss
+
+    ks, sem, depth, ray_o, ray_d, sim = geo_inputs
+    app = CorrelationLoss.from_params([0.18, 0.67, 0.46, 0.63],
+                                      rand_neg=rand_neg)
+    B = sem.shape[0]
+    feat = jax.random.normal(ks[7], (B, 12, 24, 24))
+    code0 = sem
+    code1 = jnp.roll(sem, 1, axis=0) * 0.5 + 0.1
+    k0, k1 = ks[5], ks[6]
+
+    def two(c0, c1):
+        return (app(k0, feat, c0, sim), app(k1, feat, c1, sim))
+
+    def paired(c0, c1):
+        return app.pair_heads(k0, k1, feat, c0, c1, sim)
+
+    (a0_t, a1_t), (a0_p, a1_p) = two(code0, code1), paired(code0, code1)
+    np.testing.assert_allclose(float(a0_p), float(a0_t), rtol=1e-5)
+    np.testing.assert_allclose(float(a1_p), float(a1_t), rtol=1e-5)
+
+    w = lambda f: (lambda c0, c1: sum(x * s for x, s in zip(f(c0, c1), (1.3, 0.7))))
+    gt = jax.grad(w(two), argnums=(0, 1))(code0, code1)
+    gp = jax.grad(w(paired), argnums=(0, 1))(code0, code1)
+    for a, b in zip(gt, gp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
