@@ -78,6 +78,10 @@ FLOPS_PER_RAY = {
     "train": 3 * 256 * _mlp_flops(63),
     # mip: 63 coarse + 190 fine gaussians, no semantic head, IPE in 60
     "mip_render": (63 + 190) * _mlp_flops(60, use_semantics=False),
+    # mip train rides the custom-vjp fused kernel: fwd kernel (1x) + bwd
+    # recompute (1x) + reverse-sweep dW/dx matmuls (2x) = 4x the forward
+    # (ops/pallas/fused_render.py _mip_train_kernel/_mip_train_bwd_kernel)
+    "mip_train": 4 * (63 + 190) * _mlp_flops(60, use_semantics=False),
 }
 
 
@@ -107,6 +111,7 @@ PADDED_FLOPS_PER_RAY = {
     "render_full": 256 * _padded(_layer_dims(False)),
     "train": 3 * 256 * _padded(_layer_dims(False)),
     "mip_render": (63 + 190) * _padded(_layer_dims(False, 60, use_semantics=False)),
+    "mip_train": 4 * (63 + 190) * _padded(_layer_dims(False, 60, use_semantics=False)),
 }
 
 
@@ -241,6 +246,39 @@ def bench_train() -> float:
     return N_RAYS / dt
 
 
+def bench_mip_train() -> float:
+    """mip-NeRF RGB train step through the fused custom-vjp TRAIN kernel
+    (forward + recompute-backward in two Pallas calls per pass, in-kernel
+    pre-relu noise; new round 4 — round 3 trained mip on the planar field
+    kernel with XLA compositing)."""
+    from nerfsos_tpu.engines.state import TrainState, make_optimizer
+    from nerfsos_tpu.engines.trainer import make_rgb_train_step
+    from nerfsos_tpu.models.mip import MipNeRFNet
+    from nerfsos_tpu.models.nerf import NeRFConfig
+
+    n = 16384
+    cfg = NeRFConfig(
+        n_samples=64, n_importance=128, multires=10, multires_views=4,
+        ray_block=n, remat=False, compute_dtype="bfloat16", fused_field=True,
+    )
+    net = MipNeRFNet(cfg)
+    params = net.init(jax.random.PRNGKey(0))
+    state = TrainState.create(params, make_optimizer(5e-4))
+    step = make_rgb_train_step(net, 1.2, 14.72, donate=False,
+                               net_kwargs={"radii": 0.001})
+    rays = jax.random.normal(jax.random.PRNGKey(1), (2, n, 3))
+    batch = {"rays": rays, "target": jnp.zeros((n, 3)),
+             "masks": jnp.zeros((n, 1))}
+
+    def once(s, b, k):
+        new_s, _ = step(s, b, k)
+        return _touch_params(new_s.params)  # see bench_train: no partial-step DCE
+
+    dt = time_fn(once, state, batch, jax.random.PRNGKey(2), iters=4)
+    log(f"mip train: {dt*1e3:.1f} ms / {n} rays = {n/dt:,.0f} rays/s")
+    return n / dt
+
+
 def bench_sos() -> float:
     """Full-scale flagship SOS train step: 8 patches x 64x64 rays, real
     ViT-S/16 DINO (random weights — same FLOPs), both correlation losses,
@@ -308,6 +346,11 @@ def main():
         mip_rps = bench_mip_render()
     except Exception:
         log(f"mip bench failed:\n{traceback.format_exc(limit=2)}")
+    mip_train_rps = 0.0
+    try:
+        mip_train_rps = bench_mip_train()
+    except Exception:
+        log(f"mip train bench failed:\n{traceback.format_exc(limit=2)}")
 
     ceiling = 0.0
     try:
@@ -348,13 +391,17 @@ def main():
         "train_rays_per_sec": round(train_rps, 1),
         "sos_train_rays_per_sec": round(sos_rps, 1),
         "mip_render_rays_per_sec": round(mip_rps, 1),
+        "mip_train_rays_per_sec": round(mip_train_rps, 1),
         "matmul_ceiling_tflops": round(ceiling / 1e12, 1),
         "render_eval_mfu": mfu(render_rps, "render_eval"),
         "render_full_mfu": mfu(render_full_rps, "render_full"),
         "train_mfu": mfu(train_rps, "train"),
         "mip_render_mfu": mfu(mip_rps, "mip_render"),
+        "mip_train_mfu": mfu(mip_train_rps, "mip_train"),
         "render_eval_padded_util": padded_util(render_rps, "render_eval"),
         "train_padded_util": padded_util(train_rps, "train"),
+        "mip_render_padded_util": padded_util(mip_rps, "mip_render"),
+        "mip_train_padded_util": padded_util(mip_train_rps, "mip_train"),
         # ceiling-normalized (rays/s per same-session measured TFLOP): the
         # cross-round comparable numbers — see per_tflop.
         "render_eval_rays_per_tflop": per_tflop(render_rps),
@@ -362,6 +409,7 @@ def main():
         "train_rays_per_tflop": per_tflop(train_rps),
         "sos_train_rays_per_tflop": per_tflop(sos_rps),
         "mip_render_rays_per_tflop": per_tflop(mip_rps),
+        "mip_train_rays_per_tflop": per_tflop(mip_train_rps),
     }))
 
 

@@ -199,12 +199,13 @@ class MipNeRFNet:
         z_vals = sampling.stratified_sample(k_strat, near, far, n_samples,
                                             perturb=perturb, lindisp=cfg.lindisp)
 
-        # Fully-fused EVAL path: cast_rays + IPE + MLP + mip compositing in
-        # ONE kernel per pass (ops/pallas/fused_render.py) — no [9, N]
-        # Gaussian streams or layout relayouts touch HBM. Forward-only (no
-        # VJP) and noise-free; training (train=True) keeps the
-        # differentiable planar IPE field route.
-        if planar and not train and raw_noise_std == 0.0:
+        # Fully-fused path: cast_rays + IPE + MLP + mip compositing in ONE
+        # kernel per pass (ops/pallas/fused_render.py) — no [9, N] Gaussian
+        # streams or layout relayouts touch HBM. Eval rides the forward-only
+        # kernel; training (or raw noise) rides the custom-vjp TRAIN kernel
+        # (fused backward: recompute + in-kernel composite cotangents +
+        # planar reverse sweep, with in-kernel pre-relu noise).
+        if planar:
             from nerfsos_tpu.ops.pallas import fused_render as fr
 
             R = rays_o.shape[0]
@@ -212,9 +213,19 @@ class MipNeRFNet:
                 [rays_o, rays_d, viewdirs,
                  jnp.broadcast_to(jnp.asarray(radii, jnp.float32), (R, 1))],
                 axis=1)
-            maps0, w0 = fr.fused_mip_render_planar(
-                params["mip"], odvr, z_vals, cfg, self.ray_shape,
-                depth=cfg.netdepth)
+            fused_train = train or raw_noise_std > 0.0
+
+            def one_pass(z, nk):
+                if fused_train:
+                    return fr.fused_mip_train_render_planar(
+                        params["mip"], odvr, z, cfg, self.ray_shape,
+                        depth=cfg.netdepth, noise_std=raw_noise_std,
+                        noise_key=nk)
+                return fr.fused_mip_render_planar(
+                    params["mip"], odvr, z, cfg, self.ray_shape,
+                    depth=cfg.netdepth)
+
+            maps0, w0 = one_pass(z_vals, k_noise_c)
             ret = fr.finish_mip_maps(maps0, w0, cfg.white_bkgd)
             if n_importance > 0:
                 ret0 = ret
@@ -223,9 +234,7 @@ class MipNeRFNet:
                 z_all, z_samples = sampling.importance_sample(
                     k_imp, z_mids, weights_blur, n_importance,
                     det=(perturb == 0.0))
-                maps, w_fine = fr.fused_mip_render_planar(
-                    params["mip"], odvr, z_all, cfg, self.ray_shape,
-                    depth=cfg.netdepth)
+                maps, w_fine = one_pass(z_all, k_noise_f)
                 ret = fr.finish_mip_maps(maps, w_fine, cfg.white_bkgd)
                 ret["z_std"] = jnp.std(z_samples, axis=-1)
                 for k, v in ret0.items():

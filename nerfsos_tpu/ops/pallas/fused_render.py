@@ -64,6 +64,20 @@ from nerfsos_tpu.ops.pallas.fused_field import (
 RAY_BLOCK: Optional[int] = None
 _EVAL_TARGET_N = 4608
 
+# How the exact per-ray -> per-point broadcasts are lowered:
+#   "split"   — ONE default-precision one-hot dot over exact 3-way bf16
+#               operand splits (hi+mid+lo reproduces the f32 mantissa
+#               exactly; a default-precision Mosaic dot only bf16-rounds its
+#               operands, which is a no-op on already-bf16-representable
+#               values, and one-hot products accumulate exactly in f32).
+#               Bit-equal to "highest" by construction at ~1/6 the MXU
+#               passes per block — the round-3 eval epilogue gap (padded
+#               util 0.876 vs train's 0.962) was dominated by these
+#               multi-pass HIGHEST micro-dots repeated every grid step.
+#   "highest" — the round-3 lowering: separate precision=HIGHEST dots
+#               (kept for on-chip A/B; tools/perf_bcast_split.py).
+_BCAST_MODE = "split"
+
 
 def _eval_ray_block(s: int) -> int:
     if RAY_BLOCK is not None:
@@ -150,6 +164,116 @@ def _bcast_dot(rows: jnp.ndarray, onehot: jnp.ndarray) -> jnp.ndarray:
                                preferred_element_type=jnp.float32)
 
 
+def _split3(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """f32 -> concat([hi, mid, lo], axis): three EXACTLY-bf16-representable
+    f32 terms with x == hi + mid + lo bit-exactly.
+
+    hi = RN_bf16(x) agrees with x in the top bits, so r1 = x - hi is exact
+    in f32 (Sterbenz); mid = RN_bf16(r1) likewise leaves an exact residual
+    with <= 8 significant bits, which IS a bf16 value. Three 8-bit mantissa
+    segments cover the 24-bit f32 mantissa. This is the operand form that
+    makes a DEFAULT-precision Mosaic dot exact: default only bf16-rounds
+    operands on the way into the MXU (a no-op here) and accumulates the
+    products in f32."""
+    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    r1 = x - hi
+    mid = r1.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = r1 - mid
+    return jnp.concatenate([hi, mid, lo], axis=axis)
+
+
+def _sum3(x: jnp.ndarray, c: int) -> jnp.ndarray:
+    """Inverse of a row-axis _split3 after a linear op: rows [3c, ...]
+    (hi|mid|lo groups of c) -> [c, ...] exact f32 sums (non-overlapping
+    mantissa segments add exactly)."""
+    return x[0:c] + x[c:2 * c] + x[2 * c:3 * c]
+
+
+def _dot_default(a: jnp.ndarray, b: jnp.ndarray, dims) -> jnp.ndarray:
+    """Default-precision f32 dot (ONE MXU pass; bf16-rounds operands — exact
+    when both operands are bf16-representable, e.g. _split3 outputs, one-hot
+    masks, identity matrices)."""
+    return jax.lax.dot_general(a, b, (dims, ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _transpose_bcast_exact(rows_blk: jnp.ndarray, oh: jnp.ndarray,
+                           ) -> jnp.ndarray:
+    """[r_blk, C] f32 block -> EXACT per-point broadcast [C, N] in TWO
+    default-precision MXU passes (vs ~12+ HIGHEST passes for the separate
+    transpose + broadcast dots of the round-3 lowering).
+
+    Split the rows into exact bf16 thirds on the lane axis, transpose the
+    [r_blk, 3C] block with one default-precision identity dot (operands all
+    bf16-representable -> exact), broadcast the split rows with one
+    default-precision one-hot dot, and re-sum the thirds on [C, N]."""
+    c = rows_blk.shape[1]
+    sp = _split3(rows_blk.astype(jnp.float32), axis=1)      # [r_blk, 3C]
+    t = _dot_default(_eye_pl(3 * c), sp, ((1,), (1,)))       # [3C, r_blk]
+    return _sum3(_dot_default(t, oh, ((1,), (0,))), c)       # [C, N]
+
+
+def _bcast_epilogue(blocks, oh, cd, dirs_cols=None, mt_dirs_ref=None,
+                    ph_dirs_ref=None):
+    """The whole per-ray -> per-point epilogue in TWO default-precision MXU
+    passes (all blocks share one transpose dot and one broadcast dot).
+
+    blocks: list of [r_blk, Ci] row blocks to broadcast EXACTLY (operands
+    enter the dots as exact bf16 thirds — see _split3). ``dirs_cols``
+    (c0, c1): viewdir columns of blocks[0]; their per-ray values are
+    reassembled exactly from the transpose, run through the dirs PE, and the
+    resulting demb rides the same broadcast dot — rounded to cd by the dot
+    itself when cd is bf16 (bit-equal to HIGHEST-then-astype(bf16)), or
+    split exactly when cd is f32.
+
+    Returns (per_point list [Ci, N] f32 exact, demb [Fd, N] cd or None).
+    """
+    def pad8(b, axis):
+        # Pad to a multiple of 8 so every hi/mid/lo group (and therefore
+        # every _sum3 operand slice) starts at sublane offset 0 — slices at
+        # odd sublane offsets feed the composite scans' shift-concats, where
+        # Mosaic hits "result/input offset mismatch on non-concat dimension"
+        # (remote-compiler probe, 2026-08-19).
+        c = b.shape[axis]
+        p = (-c) % 8
+        if not p:
+            return b
+        shape = list(b.shape)
+        shape[axis] = p
+        return jnp.concatenate([b, jnp.zeros(shape, b.dtype)], axis=axis)
+
+    ws = [b.shape[1] for b in blocks]
+    wps = [w + ((-w) % 8) for w in ws]
+    sp = jnp.concatenate([_split3(pad8(b.astype(jnp.float32), 1), axis=1)
+                          for b in blocks], axis=1)
+    w_tot = sp.shape[1]
+    t = _dot_default(_eye_pl(w_tot), sp, ((1,), (1,)))       # [3*Wp, r_blk]
+    rows = [t]
+    fd = 0
+    fd_true = 0
+    if dirs_cols is not None:
+        c0, c1 = dirs_cols
+        w0 = wps[0]
+        v3 = t[c0:c1] + t[w0 + c0:w0 + c1] + t[2 * w0 + c0:2 * w0 + c1]
+        demb_r = _pe_in_kernel_pl(v3, mt_dirs_ref[:], ph_dirs_ref[:])
+        fd_true = demb_r.shape[0]
+        demb_p = pad8(demb_r, 0)
+        fd = demb_p.shape[0]
+        rows.append(demb_p if cd == jnp.bfloat16 else _split3(demb_p, axis=0))
+    big = _dot_default(jnp.concatenate(rows, axis=0) if len(rows) > 1 else t,
+                       oh, ((1,), (0,)))                # [3*Wp (+Fd|3Fd), N]
+    outs, off = [], 0
+    for w, wp in zip(ws, wps):
+        outs.append(_sum3(big[off:off + 3 * wp], wp)[:w])
+        off += 3 * wp
+    demb = None
+    if dirs_cols is not None:
+        tail = big[off:]
+        demb = (tail[:fd] if cd == jnp.bfloat16
+                else _sum3(tail, fd))[:fd_true].astype(cd)
+    return outs, demb
+
+
 def _seg_cumprod_excl(x: jnp.ndarray, sid: jnp.ndarray, s: int) -> jnp.ndarray:
     """Per-segment EXCLUSIVE product along lanes (first element 1).
 
@@ -221,9 +345,15 @@ def _render_kernel(
 
     _, sid = _seg_ids(n, s)
     oh = oh_ref[:]
-    odv_t = _transpose_small_pl(odv_ref[:])      # [9, r_blk], exact
-    od6 = _bcast_dot(odv_t[0:6], oh)             # [6, N], exact
+    if _BCAST_MODE == "split":
+        (od9,), demb = _bcast_epilogue([odv_ref[:]], oh, cd, dirs_cols=(6, 9),
+                                       mt_dirs_ref=mt_dirs_ref,
+                                       ph_dirs_ref=ph_dirs_ref)
+        od6 = od9[0:6]
     z_flat = _rows_to_lanes(z_ref, r_blk, s).astype(jnp.float32)      # [1, N]
+    if _BCAST_MODE != "split":
+        odv_t = _transpose_small_pl(odv_ref[:])  # [9, r_blk], exact
+        od6 = _bcast_dot(odv_t[0:6], oh)         # [6, N], exact
     d3 = od6[3:6]
     pts = od6[0:3] + d3 * z_flat
 
@@ -241,10 +371,11 @@ def _render_kernel(
         sl = jnp.maximum(_mm_pl(sem_in, w_refs[k_s0][:], b_refs[k_s0][:]), 0.0).astype(cd)
         sem = _mm_pl(sl, w_refs[k_s1][:], b_refs[k_s1][:])  # [sem, N] fp32
 
-    # viewdirs are per-ray constants: PE at [F, r_blk], broadcast after
-    # (exact — the sin inputs per point are identical either way).
-    demb_r = _pe_in_kernel_pl(odv_t[6:9], mt_dirs_ref[:], ph_dirs_ref[:])
-    demb = _bcast_dot(demb_r, oh).astype(cd)
+    if _BCAST_MODE != "split":
+        # viewdirs are per-ray constants: PE at [F, r_blk], broadcast after
+        # (exact — the sin inputs per point are identical either way).
+        demb_r = _pe_in_kernel_pl(odv_t[6:9], mt_dirs_ref[:], ph_dirs_ref[:])
+        demb = _bcast_dot(demb_r, oh).astype(cd)
     feat = _mm_pl(h, w_refs[k_feat][:], b_refs[k_feat][:]).astype(cd)
     hv = jnp.maximum(_mm_pl(jnp.concatenate([feat, demb], axis=0),
                             w_refs[k_views][:], b_refs[k_views][:]), 0.0).astype(cd)
@@ -283,7 +414,10 @@ def _sigma_weights_kernel(
     n = r_blk * s
 
     _, sid = _seg_ids(n, s)
-    od6 = _bcast_dot(_transpose_small_pl(od_ref[:]), oh_ref[:])  # [6, N]
+    if _BCAST_MODE == "split":
+        (od6,), _ = _bcast_epilogue([od_ref[:]], oh_ref[:], cd)
+    else:
+        od6 = _bcast_dot(_transpose_small_pl(od_ref[:]), oh_ref[:])  # [6, N]
     z_flat = _rows_to_lanes(z_ref, r_blk, s).astype(jnp.float32)
     d3 = od6[3:6]
     pts = od6[0:3] + d3 * z_flat
@@ -558,8 +692,14 @@ def _train_render_kernel(
 
     _, sid = _seg_ids(n, s)
     oh = oh_ref[:]
-    odv_t = _transpose_small_pl(odv_ref[:])
-    od6 = _bcast_dot(odv_t[0:6], oh)
+    if _BCAST_MODE == "split":
+        (od9,), demb = _bcast_epilogue([odv_ref[:]], oh, cd, dirs_cols=(6, 9),
+                                       mt_dirs_ref=mt_dirs_ref,
+                                       ph_dirs_ref=ph_dirs_ref)
+        od6 = od9[0:6]
+    else:
+        odv_t = _transpose_small_pl(odv_ref[:])
+        od6 = _bcast_dot(odv_t[0:6], oh)
     z_flat = _rows_to_lanes(z_ref, r_blk, s).astype(jnp.float32)
     d3 = od6[3:6]
     pts = od6[0:3] + d3 * z_flat
@@ -580,8 +720,9 @@ def _train_render_kernel(
         sl = jnp.maximum(_mm_pl(sem_in, w_refs[k_s0][:], b_refs[k_s0][:]), 0.0).astype(cd)
         sem = _mm_pl(sl, w_refs[k_s1][:], b_refs[k_s1][:])
 
-    demb_r = _pe_in_kernel_pl(odv_t[6:9], mt_dirs_ref[:], ph_dirs_ref[:])
-    demb = _bcast_dot(demb_r, oh).astype(cd)
+    if _BCAST_MODE != "split":
+        demb_r = _pe_in_kernel_pl(odv_t[6:9], mt_dirs_ref[:], ph_dirs_ref[:])
+        demb = _bcast_dot(demb_r, oh).astype(cd)
     feat = _mm_pl(h, w_refs[k_feat][:], b_refs[k_feat][:]).astype(cd)
     hv = jnp.maximum(_mm_pl(jnp.concatenate([feat, demb], axis=0),
                             w_refs[k_views][:], b_refs[k_views][:]), 0.0).astype(cd)
@@ -649,8 +790,21 @@ def _train_render_bwd_kernel(
     # ---- forward recompute ------------------------------------------------
     _, sid = _seg_ids(n, s)
     oh = oh_ref[:]
-    odv_t = _transpose_small_pl(odv_ref[:])
-    od6 = _bcast_dot(odv_t[0:6], oh)
+    dvals0 = None
+    if _BCAST_MODE == "split":
+        # In the map-cotangent mode dmaps is an input: its exact broadcast
+        # rides the SAME two epilogue passes as o/d/viewdirs. (In rgb_loss
+        # mode the cotangent is computed in-kernel later — own small pair.)
+        blocks = [odv_ref[:]] if rgb_loss else [odv_ref[:], dmaps_ref[:]]
+        outs, demb = _bcast_epilogue(blocks, oh, cd, dirs_cols=(6, 9),
+                                     mt_dirs_ref=mt_dirs_ref,
+                                     ph_dirs_ref=ph_dirs_ref)
+        od6 = outs[0][0:6]
+        if not rgb_loss:
+            dvals0 = outs[1]
+    else:
+        odv_t = _transpose_small_pl(odv_ref[:])
+        od6 = _bcast_dot(odv_t[0:6], oh)
     z_flat = _rows_to_lanes(z_ref, r_blk, s).astype(jnp.float32)
     d3 = od6[3:6]
     pts = od6[0:3] + d3 * z_flat
@@ -679,8 +833,9 @@ def _train_render_bwd_kernel(
         s_act = jnp.maximum(_mm_pl(sem_in, w_refs[k_s0][:], b_refs[k_s0][:]), 0.0).astype(cd)
         sem = _mm_pl(s_act, w_refs[k_s1][:], b_refs[k_s1][:])
 
-    demb_r = _pe_in_kernel_pl(odv_t[6:9], mt_dirs_ref[:], ph_dirs_ref[:])
-    demb = _bcast_dot(demb_r, oh).astype(cd)
+    if _BCAST_MODE != "split":
+        demb_r = _pe_in_kernel_pl(odv_t[6:9], mt_dirs_ref[:], ph_dirs_ref[:])
+        demb = _bcast_dot(demb_r, oh).astype(cd)
     feat = _mm_pl(h, w_refs[k_feat][:], b_refs[k_feat][:]).astype(cd)
     hv_in = jnp.concatenate([feat, demb], axis=0)
     hv = jnp.maximum(_mm_pl(hv_in, w_refs[k_views][:], b_refs[k_views][:]), 0.0).astype(cd)
@@ -711,7 +866,12 @@ def _train_render_bwd_kernel(
         if use_semantics:
             cols.append(jnp.zeros((r_blk, sem.shape[0]), jnp.float32))
         dmaps_blk = jnp.concatenate(cols, axis=1)
-        dvals = _bcast_dot(_transpose_small_pl(dmaps_blk), oh)
+        if _BCAST_MODE == "split":
+            dvals = _transpose_bcast_exact(dmaps_blk, oh)
+        else:
+            dvals = _bcast_dot(_transpose_small_pl(dmaps_blk), oh)
+    elif dvals0 is not None:
+        dvals = dvals0  # exact broadcast from the shared epilogue passes
     else:
         dvals = _bcast_dot(_transpose_small_pl(dmaps_ref[:]), oh)  # [n_maps, N]
     dw = (dvals[0:1] * rgb[0:1] + dvals[1:2] * rgb[1:2] + dvals[2:3] * rgb[2:3]
@@ -1044,6 +1204,51 @@ def fused_rgb_train_grads(params: Dict[str, Any], odv: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 
+def _mip_gauss_lane(z_ref, o3, d3, radii, r_blk: int, ray_shape: str):
+    """Fencepost rows -> lane-axis (t0, t1, Gaussian mean, diag cov).
+
+    The conical-frustum -> diagonal-Gaussian stable closed forms of the
+    reference (models/mip_nerf_net.py:95-105), computed per point on the
+    lane axis. o3/d3/radii are the EXACT per-point broadcasts."""
+    t0 = jnp.concatenate([z_ref[r:r + 1, :-1] for r in range(r_blk)], axis=1
+                         ).astype(jnp.float32)
+    t1 = jnp.concatenate([z_ref[r:r + 1, 1:] for r in range(r_blk)], axis=1
+                         ).astype(jnp.float32)
+    if ray_shape == "cone":
+        mu = (t0 + t1) * 0.5
+        hw = (t1 - t0) * 0.5
+        denom = 3.0 * mu * mu + hw * hw
+        t_mean = mu + (2.0 * mu * hw * hw) / denom
+        t_var = (hw * hw) / 3.0 - (4.0 / 15.0) * (
+            (hw ** 4) * (12.0 * mu * mu - hw * hw) / (denom * denom))
+        r_var = (radii * radii) * ((mu * mu) / 4.0 + (5.0 / 12.0) * hw * hw
+                                   - (4.0 / 15.0) * (hw ** 4) / denom)
+    else:  # cylinder
+        t_mean = (t0 + t1) * 0.5
+        r_var = (radii * radii) / 4.0
+        t_var = (t1 - t0) ** 2 / 12.0
+
+    mean = o3 + d3 * t_mean  # [3, N]
+    d_mag_sq = jnp.maximum(1e-10, d3[0:1] ** 2 + d3[1:2] ** 2 + d3[2:3] ** 2)
+    d_outer = d3 * d3
+    cov = t_var * d_outer + r_var * (1.0 - d_outer / d_mag_sq)  # [3, N]
+    return t0, t1, mean, cov
+
+
+def _mip_composite_lane(sigma, t0, t1, d3, sid, s: int):
+    """Mip quadrature weights on the lane axis (math of
+    core/render.mip_volumetric_render, reference models/renderer.py:98-152):
+    dists from fenceposts, NO far padding; returns the terms the backward
+    reuses (mirror of _composite_lane)."""
+    norm_d = jnp.sqrt(d3[0:1] ** 2 + d3[1:2] ** 2 + d3[2:3] ** 2)
+    D = (t1 - t0) * norm_d
+    e = jnp.exp(-jnp.maximum(sigma, 0.0) * D)
+    alpha = 1.0 - e
+    y = e + 1e-10
+    T = _seg_cumprod_excl(y, sid, s)
+    return alpha, y, T, alpha * T, e, D
+
+
 def _mip_render_kernel(
     odvr_ref, z_ref, oh_ref, seg_ref,
     mt_pts_ref, ph_pts_ref, mt_dirs_ref, ph_dirs_ref, *refs,
@@ -1064,55 +1269,36 @@ def _mip_render_kernel(
 
     _, sid = _seg_ids(n, s)
     oh = oh_ref[:]
-    odvr_t = _transpose_small_pl(odvr_ref[:])        # [10, r_blk], exact
-    odr = _bcast_dot(jnp.concatenate([odvr_t[0:6], odvr_t[9:10]], axis=0), oh)
-    o3, d3, radii = odr[0:3], odr[3:6], odr[6:7]     # [*, N], exact
-    t0 = jnp.concatenate([z_ref[r:r + 1, :-1] for r in range(r_blk)], axis=1
-                         ).astype(jnp.float32)
-    t1 = jnp.concatenate([z_ref[r:r + 1, 1:] for r in range(r_blk)], axis=1
-                         ).astype(jnp.float32)
-
-    # conical frustum -> diagonal Gaussian (stable form, reference :95-105)
-    if ray_shape == "cone":
-        mu = (t0 + t1) * 0.5
-        hw = (t1 - t0) * 0.5
-        denom = 3.0 * mu * mu + hw * hw
-        t_mean = mu + (2.0 * mu * hw * hw) / denom
-        t_var = (hw * hw) / 3.0 - (4.0 / 15.0) * (
-            (hw ** 4) * (12.0 * mu * mu - hw * hw) / (denom * denom))
-        r_var = (radii * radii) * ((mu * mu) / 4.0 + (5.0 / 12.0) * hw * hw
-                                   - (4.0 / 15.0) * (hw ** 4) / denom)
-    else:  # cylinder
-        t_mean = (t0 + t1) * 0.5
-        r_var = (radii * radii) / 4.0
-        t_var = (t1 - t0) ** 2 / 12.0
-
-    mean = o3 + d3 * t_mean  # [3, N]
-    d_mag_sq = jnp.maximum(1e-10, d3[0:1] ** 2 + d3[1:2] ** 2 + d3[2:3] ** 2)
-    d_outer = d3 * d3
-    cov = t_var * d_outer + r_var * (1.0 - d_outer / d_mag_sq)  # [3, N]
-
+    if _BCAST_MODE == "split":
+        (od10,), demb = _bcast_epilogue([odvr_ref[:]], oh, cd,
+                                        dirs_cols=(6, 9),
+                                        mt_dirs_ref=mt_dirs_ref,
+                                        ph_dirs_ref=ph_dirs_ref)
+        o3, d3, radii = od10[0:3], od10[3:6], od10[9:10]
+    else:
+        odvr_t = _transpose_small_pl(odvr_ref[:])    # [10, r_blk], exact
+        odr = _bcast_dot(jnp.concatenate([odvr_t[0:6], odvr_t[9:10]], axis=0),
+                         oh)
+        o3, d3, radii = odr[0:3], odr[3:6], odr[6:7]  # [*, N], exact
+    t0, t1, mean, cov = _mip_gauss_lane(z_ref, o3, d3, radii, r_blk,
+                                        ray_shape)
     emb = _ipe_in_kernel_pl(mean, cov, mt_pts_ref[:]).astype(cd)
     it = iter(range(n_w))
     h = _mlp_trunk(emb, w_refs, b_refs, it, depth, skips, cd)
 
     k_alpha, k_feat, k_views, k_rgb = next(it), next(it), next(it), next(it)
     sigma = _mm_pl(h, w_refs[k_alpha][:], b_refs[k_alpha][:])  # [1, N] fp32
-    # per-ray viewdirs PE, broadcast after (exact — see _render_kernel)
-    demb_r = _pe_in_kernel_pl(odvr_t[6:9], mt_dirs_ref[:], ph_dirs_ref[:])
-    demb = _bcast_dot(demb_r, oh).astype(cd)
+    if _BCAST_MODE != "split":
+        # per-ray viewdirs PE, broadcast after (exact — see _render_kernel)
+        demb_r = _pe_in_kernel_pl(odvr_t[6:9], mt_dirs_ref[:], ph_dirs_ref[:])
+        demb = _bcast_dot(demb_r, oh).astype(cd)
     feat = _mm_pl(h, w_refs[k_feat][:], b_refs[k_feat][:]).astype(cd)
     hv = jnp.maximum(_mm_pl(jnp.concatenate([feat, demb], axis=0),
                             w_refs[k_views][:], b_refs[k_views][:]), 0.0).astype(cd)
     rgb_logits = _mm_pl(hv, w_refs[k_rgb][:], b_refs[k_rgb][:])
 
     # mip composite: dists from fenceposts, NO far padding; depth uses mids
-    norm_d = jnp.sqrt(d3[0:1] ** 2 + d3[1:2] ** 2 + d3[2:3] ** 2)
-    dists = (t1 - t0) * norm_d
-    e = jnp.exp(-jnp.maximum(sigma, 0.0) * dists)
-    alpha = 1.0 - e
-    T = _seg_cumprod_excl(e + 1e-10, sid, s)
-    w = alpha * T
+    _, _, _, w, _, _ = _mip_composite_lane(sigma, t0, t1, d3, sid, s)
     rgb = jax.nn.sigmoid(rgb_logits)
     mids = (t0 + t1) * 0.5
     vals = jnp.concatenate([w * rgb, w * mids, w], axis=0)  # [5, N]
@@ -1184,6 +1370,342 @@ def fused_mip_render_planar(params: Dict[str, Any], odvr: jnp.ndarray,
     if pad:
         maps, weights = maps[:R], weights[:R]
     return maps, weights
+
+
+def _mip_train_kernel(
+    odvr_ref, z_ref, seed_ref, oh_ref, seg_ref,
+    mt_pts_ref, ph_pts_ref, mt_dirs_ref, ph_dirs_ref, *refs,
+    depth: int, skips: Tuple[int, ...], compute_dtype, r_blk: int, s: int,
+    ray_shape: str, noise_std: float,
+):
+    """Forward of the fused mip TRAIN render: _mip_render_kernel + pre-relu
+    noise (the in-kernel SplitMix+Box-Muller stream of _noise_lanes)."""
+    from nerfsos_tpu.ops.pallas.fused_field import _ipe_in_kernel_pl
+
+    n_w = depth + 4
+    w_refs = refs[:n_w]
+    b_refs = refs[n_w:2 * n_w]
+    maps_ref, wout_ref = refs[2 * n_w], refs[2 * n_w + 1]
+    cd = compute_dtype
+    n = r_blk * s
+
+    _, sid = _seg_ids(n, s)
+    oh = oh_ref[:]
+    (od10,), demb = _bcast_epilogue([odvr_ref[:]], oh, cd, dirs_cols=(6, 9),
+                                    mt_dirs_ref=mt_dirs_ref,
+                                    ph_dirs_ref=ph_dirs_ref)
+    o3, d3, radii = od10[0:3], od10[3:6], od10[9:10]
+    t0, t1, mean, cov = _mip_gauss_lane(z_ref, o3, d3, radii, r_blk, ray_shape)
+    emb = _ipe_in_kernel_pl(mean, cov, mt_pts_ref[:]).astype(cd)
+    it = iter(range(n_w))
+    h = _mlp_trunk(emb, w_refs, b_refs, it, depth, skips, cd)
+
+    k_alpha, k_feat, k_views, k_rgb = next(it), next(it), next(it), next(it)
+    sigma = _mm_pl(h, w_refs[k_alpha][:], b_refs[k_alpha][:])
+    if noise_std > 0.0:
+        sigma = sigma + _noise_lanes(seed_ref[0, 0], pl.program_id(0), n,
+                                     noise_std)
+    feat = _mm_pl(h, w_refs[k_feat][:], b_refs[k_feat][:]).astype(cd)
+    hv = jnp.maximum(_mm_pl(jnp.concatenate([feat, demb], axis=0),
+                            w_refs[k_views][:], b_refs[k_views][:]), 0.0).astype(cd)
+    rgb_logits = _mm_pl(hv, w_refs[k_rgb][:], b_refs[k_rgb][:])
+
+    _, _, _, w, _, _ = _mip_composite_lane(sigma, t0, t1, d3, sid, s)
+    rgb = jax.nn.sigmoid(rgb_logits)
+    mids = (t0 + t1) * 0.5
+    vals = jnp.concatenate([w * rgb, w * mids, w], axis=0)
+    maps_ref[:] = jax.lax.dot_general(seg_ref[:], vals, (((0,), (1,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+    _store_rows(wout_ref, w, r_blk, s)
+
+
+def _mip_train_bwd_kernel(
+    odvr_ref, z_ref, seed_ref, dmaps_ref, dwin_ref, oh_ref, seg_ref,
+    mt_pts_ref, ph_pts_ref, mt_dirs_ref, ph_dirs_ref, *refs,
+    depth: int, skips: Tuple[int, ...], compute_dtype, r_blk: int, s: int,
+    ray_shape: str, noise_std: float,
+):
+    """Backward of the fused mip train render: recompute the forward
+    (cast + IPE + MLP + composite), form the raw cotangents from the
+    map/weight cotangents in kernel, then the planar MLP reverse sweep
+    (the dW/db grid-accumulation pattern of _train_render_bwd_kernel).
+    Gradients flow to the MLP params only — odvr and the fencepost z are
+    data/detached on every shipped mip trainer (importance z is
+    stop-gradient, core/sampling.py:186)."""
+    from nerfsos_tpu.ops.pallas.fused_field import _ipe_in_kernel_pl
+
+    n_w = depth + 4
+    w_refs = refs[:n_w]
+    b_refs = refs[n_w:2 * n_w]
+    dw_refs = refs[2 * n_w:3 * n_w]
+    db_refs = refs[3 * n_w:4 * n_w]
+    cd = compute_dtype
+    n = r_blk * s
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for r in dw_refs + db_refs:
+            r[:] = jnp.zeros_like(r)
+
+    def tm(a, b):
+        return jax.lax.dot_general(a.astype(cd), b.astype(cd),
+                                   (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    def wd(w_, d_):
+        return jax.lax.dot_general(w_.astype(cd), d_.astype(cd),
+                                   (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    def relu_bwd(act, d_):
+        return jnp.where(act.astype(jnp.float32) > 0, d_, 0.0)
+
+    # ---- forward recompute (cast + IPE + MLP) -----------------------------
+    _, sid = _seg_ids(n, s)
+    oh = oh_ref[:]
+    outs, demb = _bcast_epilogue([odvr_ref[:], dmaps_ref[:]], oh, cd,
+                                 dirs_cols=(6, 9), mt_dirs_ref=mt_dirs_ref,
+                                 ph_dirs_ref=ph_dirs_ref)
+    od10, dvals = outs
+    o3, d3, radii = od10[0:3], od10[3:6], od10[9:10]
+    t0, t1, mean, cov = _mip_gauss_lane(z_ref, o3, d3, radii, r_blk, ray_shape)
+    emb = _ipe_in_kernel_pl(mean, cov, mt_pts_ref[:]).astype(cd)
+    it = iter(range(n_w))
+    acts, ins = [], [emb]
+    h = emb
+    for i in range(depth):
+        k = next(it)
+        a = jnp.maximum(_mm_pl(h, w_refs[k][:], b_refs[k][:]), 0.0).astype(cd)
+        acts.append(a)
+        h = jnp.concatenate([emb, a], axis=0) if i in skips else a
+        if i + 1 < depth:
+            ins.append(h)
+
+    k_alpha, k_feat, k_views, k_rgb = next(it), next(it), next(it), next(it)
+    sigma = _mm_pl(h, w_refs[k_alpha][:], b_refs[k_alpha][:])
+    if noise_std > 0.0:
+        sigma = sigma + _noise_lanes(seed_ref[0, 0], pl.program_id(0), n,
+                                     noise_std)
+    feat = _mm_pl(h, w_refs[k_feat][:], b_refs[k_feat][:]).astype(cd)
+    hv_in = jnp.concatenate([feat, demb], axis=0)
+    hv = jnp.maximum(_mm_pl(hv_in, w_refs[k_views][:], b_refs[k_views][:]),
+                     0.0).astype(cd)
+    rgb_logits = _mm_pl(hv, w_refs[k_rgb][:], b_refs[k_rgb][:])
+
+    alpha, y, T, w, e, D = _mip_composite_lane(sigma, t0, t1, d3, sid, s)
+    rgb = jax.nn.sigmoid(rgb_logits)
+    mids = (t0 + t1) * 0.5
+
+    # ---- composite cotangents (maps rows: w*rgb x3, w*mids, w) ------------
+    dw = (dvals[0:1] * rgb[0:1] + dvals[1:2] * rgb[1:2] + dvals[2:3] * rgb[2:3]
+          + dvals[3:4] * mids + dvals[4:5])
+    dw = dw + _rows_to_lanes(dwin_ref, r_blk, s).astype(jnp.float32)
+    d_rgb = (dvals[0:3] * w) * (rgb * (1.0 - rgb))
+    dalpha = dw * T
+    dT = dw * alpha
+    dy = _seg_rev_cumsum_excl(dT * T, sid, s) / y
+    dalpha = dalpha - dy
+    d_sigma = jnp.where(sigma > 0.0, dalpha * e * D, 0.0)
+
+    # ---- MLP reverse sweep (planar; no semantic branch) -------------------
+    d_rgb_c = d_rgb.astype(cd)
+    dw_refs[k_rgb][:] += tm(hv, d_rgb_c)
+    db_refs[k_rgb][:] += jnp.sum(d_rgb, 1, keepdims=True)
+    dhv = relu_bwd(hv, wd(w_refs[k_rgb][:], d_rgb_c)).astype(cd)
+
+    dw_refs[k_views][:] += tm(hv_in, dhv)
+    db_refs[k_views][:] += jnp.sum(dhv.astype(jnp.float32), 1, keepdims=True)
+    dhv_in = wd(w_refs[k_views][:], dhv)
+    d_feat = dhv_in[:feat.shape[0], :].astype(cd)
+
+    dw_refs[k_feat][:] += tm(h, d_feat)
+    db_refs[k_feat][:] += jnp.sum(d_feat.astype(jnp.float32), 1, keepdims=True)
+    dh = wd(w_refs[k_feat][:], d_feat)
+
+    # single-output-lane dot pothole: pad the alpha cotangent to 2 rows
+    d_alpha_c = d_sigma.astype(cd)
+    d_alpha2 = jnp.concatenate([d_alpha_c, jnp.zeros_like(d_alpha_c)], axis=0)
+    dw_refs[k_alpha][:] += tm(h, d_alpha2)[:, 0:1]
+    db_refs[k_alpha][:] += jnp.sum(d_sigma, 1, keepdims=True)
+    dh += wd(w_refs[k_alpha][:], d_alpha_c)
+
+    dcur = dh
+    for i in reversed(range(depth)):
+        if i in skips:
+            dcur = dcur[emb.shape[0]:, :]
+        dpre = relu_bwd(acts[i], dcur).astype(cd)
+        dw_refs[i][:] += tm(ins[i], dpre)
+        db_refs[i][:] += jnp.sum(dpre.astype(jnp.float32), 1, keepdims=True)
+        dcur = wd(w_refs[i][:], dpre)
+
+
+def _mip_blocks_and_consts(ws, bs, z_vals, multires, multires_views,
+                           compute_dtype):
+    from nerfsos_tpu.ops.pallas.fused_field import _ipe_consts_pl
+
+    S = z_vals.shape[-1] - 1
+    r_blk = (RAY_BLOCK if RAY_BLOCK is not None
+             else max(8, (_MIP_TARGET_N // (8 * S)) * 8))
+    ws_c = tuple(w.astype(compute_dtype) for w in ws)
+    bs_col = tuple(b.astype(jnp.float32).reshape(-1, 1) for b in bs)
+    pe_args = _ipe_consts_pl(multires, multires_views)
+    return S, r_blk, ws_c, bs_col, pe_args
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
+def _mip_train_render(ws, bs, odvr, z_vals, seed, depth, skips, multires,
+                      multires_views, compute_dtype_name, ray_shape,
+                      noise_std):
+    return _mip_train_fwd_impl(ws, bs, odvr, z_vals, seed, depth, skips,
+                               multires, multires_views, compute_dtype_name,
+                               ray_shape, noise_std)
+
+
+def _mip_train_fwd_impl(ws, bs, odvr, z_vals, seed, depth, skips, multires,
+                        multires_views, compute_dtype_name, ray_shape,
+                        noise_std, interpret: Optional[bool] = None):
+    compute_dtype = (jnp.bfloat16 if compute_dtype_name == "bfloat16"
+                     else jnp.float32)
+    S, r_blk, ws_c, bs_col, pe_args = _mip_blocks_and_consts(
+        ws, bs, z_vals, multires, multires_views, compute_dtype)
+    (odvr,), z_vals, R, pad = _pad_rays([odvr], z_vals, r_blk)
+    n_blocks = z_vals.shape[0] // r_blk
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    onehot, seg = _bcast_masks(r_blk, S)
+    full = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
+                                    memory_space=pltpu.VMEM)
+    maps, weights = pl.pallas_call(
+        functools.partial(
+            _mip_train_kernel, depth=depth, skips=skips,
+            compute_dtype=compute_dtype, r_blk=r_blk, s=S,
+            ray_shape=ray_shape, noise_std=noise_std),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((r_blk, 10), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_blk, S + 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            full(onehot), full(seg),
+            *[full(a) for a in pe_args],
+            *[full(w) for w in ws_c],
+            *[full(b) for b in bs_col],
+        ],
+        out_specs=[
+            pl.BlockSpec((r_blk, 5), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_blk, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_blocks * r_blk, 5), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks * r_blk, S), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(odvr, z_vals, seed, onehot, seg, *pe_args, *ws_c, *bs_col)
+    if pad:
+        maps, weights = maps[:R], weights[:R]
+    return maps, weights
+
+
+def _mip_train_fwd(ws, bs, odvr, z_vals, seed, *static):
+    out = _mip_train_fwd_impl(ws, bs, odvr, z_vals, seed, *static)
+    return out, (ws, bs, odvr, z_vals, seed)
+
+
+def _mip_train_bwd(depth, skips, multires, multires_views, compute_dtype_name,
+                   ray_shape, noise_std, residuals, cots,
+                   interpret: Optional[bool] = None):
+    ws, bs, odvr, z_vals, seed = residuals
+    dmaps, dweights = cots
+    compute_dtype = (jnp.bfloat16 if compute_dtype_name == "bfloat16"
+                     else jnp.float32)
+    S, r_blk, ws_c, bs_col, pe_args = _mip_blocks_and_consts(
+        ws, bs, z_vals, multires, multires_views, compute_dtype)
+    odvr0, z0 = odvr, z_vals
+    (odvr, dmaps, dweights), z_vals, R, pad = _pad_rays(
+        [odvr, dmaps, dweights], z_vals, r_blk)
+    if pad:
+        mask = (jnp.arange(z_vals.shape[0]) < R).astype(dmaps.dtype)
+        dmaps = dmaps * mask[:, None]
+        dweights = dweights * mask[:, None]
+    n_blocks = z_vals.shape[0] // r_blk
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    onehot, seg = _bcast_masks(r_blk, S)
+    full = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
+                                    memory_space=pltpu.VMEM)
+    acc2d = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                       memory_space=pltpu.VMEM)
+    w_shapes = [w.shape for w in ws]
+    b_sizes = [b.shape[0] for b in bs]
+    outs = pl.pallas_call(
+        functools.partial(
+            _mip_train_bwd_kernel, depth=depth, skips=skips,
+            compute_dtype=compute_dtype, r_blk=r_blk, s=S,
+            ray_shape=ray_shape, noise_std=noise_std),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((r_blk, 10), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_blk, S + 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((r_blk, 5), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_blk, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            full(onehot), full(seg),
+            *[full(a) for a in pe_args],
+            *[full(w) for w in ws_c],
+            *[full(b) for b in bs_col],
+        ],
+        out_specs=([acc2d(sh) for sh in w_shapes]
+                   + [acc2d((nb, 1)) for nb in b_sizes]),
+        out_shape=([jax.ShapeDtypeStruct(sh, jnp.float32) for sh in w_shapes]
+                   + [jax.ShapeDtypeStruct((nb, 1), jnp.float32)
+                      for nb in b_sizes]),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(odvr, z_vals, seed, dmaps, dweights, onehot, seg, *pe_args, *ws_c,
+      *bs_col)
+
+    n_w = len(ws)
+    dws = tuple(outs[i].astype(ws[i].dtype) for i in range(n_w))
+    dbs = tuple(outs[n_w + i][:, 0].astype(bs[i].dtype) for i in range(n_w))
+    return (dws, dbs, jnp.zeros_like(odvr0), jnp.zeros_like(z0),
+            jnp.zeros_like(seed))
+
+
+_mip_train_render.defvjp(_mip_train_fwd, _mip_train_bwd)
+
+
+def fused_mip_train_render_planar(params: Dict[str, Any], odvr: jnp.ndarray,
+                                  z_vals: jnp.ndarray, cfg,
+                                  ray_shape: str = "cone",
+                                  depth: Optional[int] = None,
+                                  noise_std: float = 0.0,
+                                  noise_key: Optional[jax.Array] = None
+                                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Differentiable fused mip render (train path): cast_rays + IPE + MLP +
+    mip compositing in ONE kernel per pass, with a fused backward (forward
+    recompute + in-kernel composite cotangents + planar reverse sweep).
+
+    Args: odvr [R, 10] (o, d, viewdirs, radii columns), z_vals [R, S+1]
+    fenceposts. Returns (maps [R, 5], weights [R, S]) — see finish_mip_maps.
+    Gradients flow to params only (odvr/z/key get exact zeros — rays are
+    data, importance z is detached). Reference semantics:
+    models/mip_nerf_net.py:150-233 + models/renderer.py:98-152.
+    """
+    mlp = params["mlp"]
+    depth = cfg.netdepth if depth is None else depth
+    ws, bs = _flatten_mlp_params(mlp, depth, False)
+    if noise_std > 0.0 and noise_key is not None:
+        seed = jax.random.randint(noise_key, (1, 1), 0,
+                                  2 ** 31 - 1).astype(jnp.float32)
+    else:
+        seed = jnp.zeros((1, 1), jnp.float32)
+    return _mip_train_render(
+        tuple(ws), tuple(bs), odvr, z_vals, seed, depth, (4,), cfg.multires,
+        cfg.multires_views, cfg.compute_dtype, ray_shape, float(noise_std))
 
 
 def finish_mip_maps(maps: jnp.ndarray, weights: jnp.ndarray,

@@ -249,3 +249,41 @@ def test_fused_rgb_loss_step_matches_ad_step(nets, key):
         for x, y in zip(jax.tree_util.tree_leaves(s.params),
                         jax.tree_util.tree_leaves(s2.params)))
     assert leaves_changed
+
+
+def test_bcast_mode_split_matches_highest(nets, key):
+    """The split-operand broadcast epilogue (_BCAST_MODE="split") must
+    reproduce the HIGHEST-precision lowering. In interpret mode both are
+    exact f32, so this checks the split/sum plumbing (row bookkeeping,
+    dirs reassembly, extras routing); the on-chip BIT-equality claim is
+    verified by tools/perf_bcast_split.py."""
+    from nerfsos_tpu.ops.pallas import fused_render as fr
+
+    xla, fused, params = nets
+    rays = _rays(key, 20)
+    outs = {}
+    old = fr._BCAST_MODE
+    try:
+        for mode in ("highest", "split"):
+            fr._BCAST_MODE = mode
+            ev = fused(params, rays, (1.0, 4.0), train=False,
+                       coarse_outputs=False)
+            tr = fused(params, rays, (1.0, 4.0), train=True,
+                       key=jax.random.PRNGKey(3))
+            gt = jax.random.uniform(jax.random.PRNGKey(4), (20, 3))
+
+            def loss(p):
+                o = fused(p, rays, (1.0, 4.0), train=True,
+                          key=jax.random.PRNGKey(3))
+                return (jnp.mean((o["rgb"] - gt) ** 2)
+                        + jnp.mean(o["semantics"] ** 2)
+                        + jnp.mean(o["depth"]))
+
+            grads = jax.grad(loss)(params)
+            outs[mode] = (ev, tr, grads)
+    finally:
+        fr._BCAST_MODE = old
+    for a, b in zip(jax.tree_util.tree_leaves(outs["highest"]),
+                    jax.tree_util.tree_leaves(outs["split"])):
+        np.testing.assert_allclose(np.array(a), np.array(b),
+                                   atol=1e-6, rtol=1e-6)
