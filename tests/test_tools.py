@@ -97,3 +97,23 @@ def test_plot_poses(tmp_path, rng):
     poses[:, :3, 3] = rng.random((4, 3))
     plot_poses(poses, str(tmp_path / "p.png"))
     assert os.path.getsize(tmp_path / "p.png") > 1000
+
+
+def test_baseline_gates_synthetic_dry_run(tmp_path):
+    """tools/run_baseline_gates.py --synthetic end-to-end (CPU, tiny sizes):
+    the one-command BASELINE.md parity-gate driver must stay runnable so the
+    day real artifacts (DINO/LPIPS weights, scene .npy dirs, published
+    checkpoints) appear, nothing else is needed (VERDICT r3 #8)."""
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, GATES_CPU="1")
+    env["PYTHONPATH"] = env.get("PYTHONPATH", "") + ":" + root
+    r = subprocess.run(
+        [sys.executable, "tools/run_baseline_gates.py", "--synthetic",
+         "--pretrain_steps", "25", "--sos_steps", "8",
+         "--out", str(tmp_path / "gates")],
+        cwd=root, env=env, capture_output=True, text=True, timeout=1800)
+    assert r.returncode == 0, (r.stdout[-2000:] + "\n" + r.stderr[-2000:])
+    assert os.path.exists(tmp_path / "gates" / "gates.json")
