@@ -78,6 +78,28 @@ _EVAL_TARGET_N = 4608
 #               (kept for on-chip A/B; tools/perf_bcast_split.py).
 _BCAST_MODE = "split"
 
+# How the volumetric composite is computed:
+#   "lanes" — DEFAULT: the round-3 lane-major segmented form ([1, R_blk*S]
+#             vectors, Hillis-Steele doubling scans with segment masks).
+#             This is the configuration every shipped gate was validated
+#             on (REHEARSAL_r03, PROTOCOL_r04, BENCH numbers).
+#   "rows"  — ray-per-sublane-row ([R_blk, S] blocks): full 8-sublane VPU
+#             occupancy for the scans/exp chains (6 vregs/op at the
+#             flagship eval shape vs 36 lane-major), mask-free scans, ONE
+#             aligned weights block store. BIT-equal to "lanes" per
+#             element (the doubling tree restricted to one segment IS the
+#             plain per-row tree; inputs match bit-for-bit — verified on
+#             chip for every kernel family, tools/perf_composite_rows.py).
+#             MEASURED ON CHIP 2026-08-19 (/tmp/rows_ab.log, ABAB): eval
+#             render 434.3k vs 434.2k rays/s, rgb-train grads 82.1 vs
+#             82.1 ms, mip train 103.9 vs 103.9 ms — ZERO delta. The
+#             "composite scans dominate the eval padded-util gap"
+#             hypothesis (VERDICT r3 #1 / ROUND3_NOTES ceiling section) is
+#             DISPROVEN: the epilogue's VPU time was already hidden under
+#             the MXU passes. Kept for A/B; see ROUND4_NOTES "#1 ...
+#             epilogue floor" for the full accounting.
+_COMPOSITE_MODE = "lanes"
+
 
 def _eval_ray_block(s: int) -> int:
     if RAY_BLOCK is not None:
@@ -99,9 +121,34 @@ def _rows_to_lanes(ref, r_blk: int, s: int) -> jnp.ndarray:
 def _lanes_to_rows(flat: jnp.ndarray, r_blk: int, s: int) -> jnp.ndarray:
     """[1, R_blk*S] lanes (ray-major) -> [R_blk, S] rows; inverse of
     _rows_to_lanes (same per-row unaligned lane slices, stacked on
-    sublanes — the lane<->sublane *reshape* Mosaic can't do directly)."""
+    sublanes — the lane<->sublane *reshape* Mosaic can't do directly).
+
+    INTERPRET/CPU ONLY as a value op: on chip, tpu.concatenate refuses value
+    slices whose lane offsets differ ("result/input offset mismatch on
+    non-concat dimension" — S % 128 != 0 makes the offsets alternate 0/64;
+    found on-chip round 4). Kernels use _lanes_to_rows_vmem instead."""
     return jnp.concatenate([flat[:, r * s:(r + 1) * s] for r in range(r_blk)],
                            axis=0)
+
+
+def _lanes_to_rows_vmem(flat: jnp.ndarray, scratch_ref, r_blk: int,
+                        s: int) -> jnp.ndarray:
+    """[1, R_blk*S] -> [R_blk, S] THROUGH VMEM: per-row lane-slice stores
+    (the proven _store_rows pattern) then ONE aligned block load — the
+    store/load round-trip does the lane->sublane relayout in hardware that
+    tpu.concatenate on values can't (see _lanes_to_rows)."""
+    _store_rows(scratch_ref, flat, r_blk, s)
+    return scratch_ref[:]
+
+
+def _rows_to_lanes_vmem(rows: jnp.ndarray, scratch_ref, r_blk: int,
+                        s: int) -> jnp.ndarray:
+    """[R_blk, S] VALUE -> [1, R_blk*S] through VMEM: one aligned block
+    store, then the per-row lane-slice REF loads of _rows_to_lanes (the
+    form Mosaic compiles; value slices hit the same concatenate limit as
+    _lanes_to_rows in the other direction)."""
+    scratch_ref[:] = rows
+    return _rows_to_lanes(scratch_ref, r_blk, s)
 
 
 def _bcast_masks(r_blk: int, s: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -382,7 +429,17 @@ def _render_kernel(
     rgb_logits = _mm_pl(hv, w_refs[k_rgb][:], b_refs[k_rgb][:])  # [3, N] fp32
 
     # ---- composite (all fp32 VPU) ----------------------------------------
-    w = _weights_from_sigma(sigma, z_flat, d3, sid, s)  # [1, N]
+    if _COMPOSITE_MODE == "rows":
+        scr_ref = refs[2 * n_w + 2]
+        sig_rows = _lanes_to_rows_vmem(sigma, scr_ref, r_blk, s)
+        _, _, _, w_rows, _, _, _ = _composite_rows(sig_rows, z_ref[:],
+                                                   odv_ref[:, 3:6], r_blk, s)
+        # park w in the weights OUTPUT block, read back per-row lane slices
+        # (the only Mosaic-legal rows->lanes form — see _rows_to_lanes_vmem)
+        wout_ref[:] = w_rows
+        w = _rows_to_lanes(wout_ref, r_blk, s)  # [1, N] for the vals products
+    else:
+        w = _weights_from_sigma(sigma, z_flat, d3, sid, s)  # [1, N]
     rgb = jax.nn.sigmoid(rgb_logits)
     rows = [w * rgb, w * z_flat, w]
     if use_semantics:
@@ -394,7 +451,8 @@ def _render_kernel(
     # dots are exact (no XLA default-precision bf16 rounding).
     maps_ref[:] = jax.lax.dot_general(seg_ref[:], vals, (((0,), (1,)), ((), ())),
                                       preferred_element_type=jnp.float32)
-    _store_rows(wout_ref, w, r_blk, s)
+    if _COMPOSITE_MODE != "rows":
+        _store_rows(wout_ref, w, r_blk, s)
 
 
 def _sigma_weights_kernel(
@@ -430,8 +488,15 @@ def _sigma_weights_kernel(
             h = jnp.concatenate([emb, h], axis=0)
     sigma = _mm_pl(h, w_refs[depth][:], b_refs[depth][:])  # [1, N] fp32
 
-    w = _weights_from_sigma(sigma, z_flat, d3, sid, s)
-    _store_rows(wout_ref, w, r_blk, s)
+    if _COMPOSITE_MODE == "rows":
+        scr_ref = refs[2 * n_w + 1]
+        sig_rows = _lanes_to_rows_vmem(sigma, scr_ref, r_blk, s)
+        _, _, _, w_rows, _, _, _ = _composite_rows(sig_rows, z_ref[:],
+                                                   od_ref[:, 3:6], r_blk, s)
+        wout_ref[:] = w_rows
+    else:
+        w = _weights_from_sigma(sigma, z_flat, d3, sid, s)
+        _store_rows(wout_ref, w, r_blk, s)
 
 
 def _pad_rays(arrs_rows, z, r_blk):
@@ -503,6 +568,8 @@ def fused_render_planar(params: Dict[str, Any], odv: jnp.ndarray,
             jax.ShapeDtypeStruct((n_blocks * r_blk, n_maps), jnp.float32),
             jax.ShapeDtypeStruct((n_blocks * r_blk, S), jnp.float32),
         ],
+        scratch_shapes=([pltpu.VMEM((r_blk, S), jnp.float32)]
+                        if _COMPOSITE_MODE == "rows" else []),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -553,6 +620,8 @@ def fused_coarse_weights_planar(params: Dict[str, Any], od: jnp.ndarray,
         out_specs=pl.BlockSpec((r_blk, S), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((z_vals.shape[0], S), jnp.float32),
+        scratch_shapes=([pltpu.VMEM((r_blk, S), jnp.float32)]
+                        if _COMPOSITE_MODE == "rows" else []),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -676,6 +745,78 @@ def _composite_lane(sigma, z_flat, d3, sid, s: int):
     return alpha, y, T, alpha * T, e, D
 
 
+def _cumprod_excl_rows(y: jnp.ndarray, s: int) -> jnp.ndarray:
+    """Per-ROW exclusive product along lanes: the row-major twin of
+    _seg_cumprod_excl. No masks: the shifted-in ones already are the
+    identity at the row head, and multiplying by 1.0 is bit-exact — the
+    doubling tree per element is identical to the segmented form's."""
+    r = y.shape[0]
+    v = jnp.concatenate([jnp.ones((r, 1), y.dtype), y[:, :-1]], axis=1)
+    k = 1
+    while k < s:
+        v = v * jnp.concatenate([jnp.ones((r, k), y.dtype), v[:, :-k]], axis=1)
+        k *= 2
+    return v
+
+
+def _rev_cumsum_excl_rows(u: jnp.ndarray, s: int) -> jnp.ndarray:
+    """Per-ROW reverse exclusive sum along lanes (last element 0): the
+    row-major twin of _seg_rev_cumsum_excl (same doubling tree; shifted-in
+    zeros replace the segment masks)."""
+    r = u.shape[0]
+    v = jnp.concatenate([u[:, 1:], jnp.zeros((r, 1), u.dtype)], axis=1)
+    k = 1
+    while k < s:
+        v = v + jnp.concatenate([v[:, k:], jnp.zeros((r, k), u.dtype)], axis=1)
+        k *= 2
+    return v
+
+
+def _composite_rows(sig, z_rows, d_cols, r_blk: int, s: int):
+    """Row-major volumetric composite: [R_blk, S] blocks, rays on sublanes,
+    samples on lanes (reference models/renderer.py:21-85 semantics — 1e10
+    far-padded dists, |d| scaling, e + 1e-10 transmittance floor).
+
+    BIT-equal to _composite_lane per element: same op tree per ray (see
+    _cumprod_excl_rows), and the inputs match bit-for-bit — sig is the
+    VMEM-round-tripped row layout of the same sigma values (exact copies),
+    z comes from the same [R_blk, S] block, and norm_d from the odv columns
+    equals the per-point broadcast (exact).
+
+    Args: sig [R_blk, S] sigma rows (callers convert via
+    _lanes_to_rows_vmem). Returns (alpha, y, T, w, e, D, sig) all as
+    [R_blk, S] rows — sig included because the backward's relu gate needs
+    it in this layout.
+    """
+    lid = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
+    z = z_rows.astype(jnp.float32)
+    z_next = jnp.concatenate([z[:, 1:], jnp.zeros((r_blk, 1), jnp.float32)], 1)
+    dists = jnp.where(lid == s - 1, 1e10, z_next - z)
+    d = d_cols.astype(jnp.float32)
+    norm_d = jnp.sqrt(d[:, 0:1] ** 2 + d[:, 1:2] ** 2 + d[:, 2:3] ** 2)
+    D = dists * norm_d
+    e = jnp.exp(-jnp.maximum(sig, 0.0) * D)
+    alpha = 1.0 - e
+    y = e + 1e-10
+    T = _cumprod_excl_rows(y, s)
+    return alpha, y, T, alpha * T, e, D, sig
+
+
+def _mip_composite_rows(sig, t0_rows, t1_rows, d_cols, r_blk: int, s: int):
+    """Row-major twin of _mip_composite_lane (dists from fenceposts, NO far
+    padding — reference models/renderer.py:98-152). Same bit-equality
+    argument as _composite_rows; sig [R_blk, S] sigma rows (callers convert
+    via _lanes_to_rows_vmem); t0/t1 are direct fencepost slices."""
+    d = d_cols.astype(jnp.float32)
+    norm_d = jnp.sqrt(d[:, 0:1] ** 2 + d[:, 1:2] ** 2 + d[:, 2:3] ** 2)
+    D = (t1_rows - t0_rows) * norm_d
+    e = jnp.exp(-jnp.maximum(sig, 0.0) * D)
+    alpha = 1.0 - e
+    y = e + 1e-10
+    T = _cumprod_excl_rows(y, s)
+    return alpha, y, T, alpha * T, e, D, sig
+
+
 def _train_render_kernel(
     odv_ref, z_ref, seed_ref, oh_ref, seg_ref,
     mt_pts_ref, ph_pts_ref, mt_dirs_ref, ph_dirs_ref, *refs,
@@ -728,7 +869,15 @@ def _train_render_kernel(
                             w_refs[k_views][:], b_refs[k_views][:]), 0.0).astype(cd)
     rgb_logits = _mm_pl(hv, w_refs[k_rgb][:], b_refs[k_rgb][:])
 
-    _, _, _, w, _, _ = _composite_lane(sigma, z_flat, d3, sid, s)
+    if _COMPOSITE_MODE == "rows":
+        scr_ref = refs[2 * n_w + 2]
+        sig_rows = _lanes_to_rows_vmem(sigma, scr_ref, r_blk, s)
+        _, _, _, w_rows, _, _, _ = _composite_rows(sig_rows, z_ref[:],
+                                                   odv_ref[:, 3:6], r_blk, s)
+        wout_ref[:] = w_rows
+        w = _rows_to_lanes(wout_ref, r_blk, s)
+    else:
+        _, _, _, w, _, _ = _composite_lane(sigma, z_flat, d3, sid, s)
     rgb = jax.nn.sigmoid(rgb_logits)
     rows = [w * rgb, w * z_flat, w]
     if use_semantics:
@@ -737,7 +886,8 @@ def _train_render_kernel(
 
     maps_ref[:] = jax.lax.dot_general(seg_ref[:], vals, (((0,), (1,)), ((), ())),
                                       preferred_element_type=jnp.float32)
-    _store_rows(wout_ref, w, r_blk, s)
+    if _COMPOSITE_MODE != "rows":
+        _store_rows(wout_ref, w, r_blk, s)
 
 
 def _train_render_bwd_kernel(
@@ -841,7 +991,17 @@ def _train_render_bwd_kernel(
     hv = jnp.maximum(_mm_pl(hv_in, w_refs[k_views][:], b_refs[k_views][:]), 0.0).astype(cd)
     rgb_logits = _mm_pl(hv, w_refs[k_rgb][:], b_refs[k_rgb][:])
 
-    alpha, y, T, w, e, D = _composite_lane(sigma, z_flat, d3, sid, s)
+    if _COMPOSITE_MODE == "rows":
+        # ONE scratch, reused sequentially (each read materializes into
+        # vregs before the next overwrite — kernel memory ops are ordered):
+        # sigma->rows, w->lanes, dw->rows, d_sigma->lanes.
+        scr_ref = refs[-1]
+        sig_rows = _lanes_to_rows_vmem(sigma, scr_ref, r_blk, s)
+        alpha_r, y_r, T_r, w_rows, e_r, D_r, sig_r = _composite_rows(
+            sig_rows, z_ref[:], odv_ref[:, 3:6], r_blk, s)
+        w = _rows_to_lanes_vmem(w_rows, scr_ref, r_blk, s)
+    else:
+        alpha, y, T, w, e, D = _composite_lane(sigma, z_flat, d3, sid, s)
     rgb = jax.nn.sigmoid(rgb_logits)
 
     # ---- composite cotangents --------------------------------------------
@@ -855,7 +1015,10 @@ def _train_render_bwd_kernel(
         maps = jax.lax.dot_general(seg_ref[:], vals, (((0,), (1,)), ((), ())),
                                    preferred_element_type=jnp.float32)
         maps_ref[:] = maps
-        _store_rows(wout_ref, w, r_blk, s)
+        if _COMPOSITE_MODE == "rows":
+            wout_ref[:] = w_rows
+        else:
+            _store_rows(wout_ref, w, r_blk, s)
         # unscaled img2mse cotangent, zeroed on padded rays (valid column)
         acc_col = maps[:, 4:5]
         rgbm = maps[:, 0:3] + ((1.0 - acc_col) if white_bkgd else 0.0)
@@ -880,19 +1043,32 @@ def _train_render_bwd_kernel(
         sem_f = sem.astype(jnp.float32)
         for c in range(sem.shape[0]):
             dw = dw + dvals[5 + c:6 + c] * sem_f[c:c + 1]
-    if not rgb_loss:
-        dw = dw + _rows_to_lanes(dwin_ref, r_blk, s).astype(jnp.float32)
-
     d_rgb = (dvals[0:3] * w) * (rgb * (1.0 - rgb))  # sigmoid chain
     d_sem = dvals[5:] * w if use_semantics else None
 
-    # w = alpha * T; T = prod_{j<i} y_j; y = 1 - alpha + 1e-10
-    dalpha = dw * T
-    dT = dw * alpha
-    dy = _seg_rev_cumsum_excl(dT * T, sid, s) / y
-    dalpha = dalpha - dy
+    # w = alpha * T; T = prod_{j<i} y_j; y = 1 - alpha + 1e-10;
     # alpha = 1 - exp(-relu(sigma) * D)
-    d_sigma = jnp.where(sigma > 0.0, dalpha * e * D, 0.0)
+    if _COMPOSITE_MODE == "rows":
+        # the scans and the elementwise chain at full sublane occupancy;
+        # dwin is ALREADY row-major — its lanes conversion disappears.
+        dw_r = _lanes_to_rows_vmem(dw, scr_ref, r_blk, s)
+        if not rgb_loss:
+            dw_r = dw_r + dwin_ref[:].astype(jnp.float32)
+        dalpha_r = dw_r * T_r
+        dT_r = dw_r * alpha_r
+        dy_r = _rev_cumsum_excl_rows(dT_r * T_r, s) / y_r
+        dalpha_r = dalpha_r - dy_r
+        d_sigma = _rows_to_lanes_vmem(
+            jnp.where(sig_r > 0.0, dalpha_r * e_r * D_r, 0.0),
+            scr_ref, r_blk, s)
+    else:
+        if not rgb_loss:
+            dw = dw + _rows_to_lanes(dwin_ref, r_blk, s).astype(jnp.float32)
+        dalpha = dw * T
+        dT = dw * alpha
+        dy = _seg_rev_cumsum_excl(dT * T, sid, s) / y
+        dalpha = dalpha - dy
+        d_sigma = jnp.where(sigma > 0.0, dalpha * e * D, 0.0)
 
     # ---- MLP reverse sweep (planar; mirrors _field_bwd_kernel_pl) --------
     d_rgb_c = d_rgb.astype(cd)
@@ -988,6 +1164,8 @@ def _train_render_fwd_impl(ws, bs, odv, z_vals, seed, depth, skips, multires,
             jax.ShapeDtypeStruct((n_blocks * r_blk, n_maps), jnp.float32),
             jax.ShapeDtypeStruct((n_blocks * r_blk, S), jnp.float32),
         ],
+        scratch_shapes=([pltpu.VMEM((r_blk, S), jnp.float32)]
+                        if _COMPOSITE_MODE == "rows" else []),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -1060,6 +1238,8 @@ def _train_render_bwd(depth, skips, multires, multires_views, use_semantics,
         # scoped limit but far under the chip's 128 MB VMEM. Raise the cap
         # (costs pipelining headroom the sequential-grid reduction pattern
         # doesn't use anyway).
+        scratch_shapes=([pltpu.VMEM((r_blk, S), jnp.float32)]
+                        if _COMPOSITE_MODE == "rows" else []),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(odv, z_vals, seed, dmaps, dweights, onehot, seg, *pe_args, *ws_c, *bs_col)
@@ -1181,6 +1361,8 @@ def fused_rgb_train_grads(params: Dict[str, Any], odv: jnp.ndarray,
                    + [jax.ShapeDtypeStruct((nb, 1), jnp.float32) for nb in b_sizes]
                    + [jax.ShapeDtypeStruct((z_vals.shape[0], n_maps), jnp.float32),
                       jax.ShapeDtypeStruct((z_vals.shape[0], S), jnp.float32)]),
+        scratch_shapes=([pltpu.VMEM((r_blk, S), jnp.float32)]
+                        if _COMPOSITE_MODE == "rows" else []),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(odv, z_vals, seed, gt, valid, onehot, seg, *pe_args, *ws_c, *bs_col)
@@ -1298,14 +1480,24 @@ def _mip_render_kernel(
     rgb_logits = _mm_pl(hv, w_refs[k_rgb][:], b_refs[k_rgb][:])
 
     # mip composite: dists from fenceposts, NO far padding; depth uses mids
-    _, _, _, w, _, _ = _mip_composite_lane(sigma, t0, t1, d3, sid, s)
+    if _COMPOSITE_MODE == "rows":
+        scr_ref = refs[2 * n_w + 2]
+        sig_rows = _lanes_to_rows_vmem(sigma, scr_ref, r_blk, s)
+        _, _, _, w_rows, _, _, _ = _mip_composite_rows(
+            sig_rows, z_ref[:, :-1].astype(jnp.float32),
+            z_ref[:, 1:].astype(jnp.float32), odvr_ref[:, 3:6], r_blk, s)
+        wout_ref[:] = w_rows
+        w = _rows_to_lanes(wout_ref, r_blk, s)
+    else:
+        _, _, _, w, _, _ = _mip_composite_lane(sigma, t0, t1, d3, sid, s)
     rgb = jax.nn.sigmoid(rgb_logits)
     mids = (t0 + t1) * 0.5
     vals = jnp.concatenate([w * rgb, w * mids, w], axis=0)  # [5, N]
 
     maps_ref[:] = jax.lax.dot_general(seg_ref[:], vals, (((0,), (1,)), ((), ())),
                                       preferred_element_type=jnp.float32)
-    _store_rows(wout_ref, w, r_blk, s)
+    if _COMPOSITE_MODE != "rows":
+        _store_rows(wout_ref, w, r_blk, s)
 
 
 def fused_mip_render_planar(params: Dict[str, Any], odvr: jnp.ndarray,
@@ -1363,6 +1555,8 @@ def fused_mip_render_planar(params: Dict[str, Any], odvr: jnp.ndarray,
             jax.ShapeDtypeStruct((n_blocks * r_blk, 5), jnp.float32),
             jax.ShapeDtypeStruct((n_blocks * r_blk, S), jnp.float32),
         ],
+        scratch_shapes=([pltpu.VMEM((r_blk, S), jnp.float32)]
+                        if _COMPOSITE_MODE == "rows" else []),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -1410,13 +1604,23 @@ def _mip_train_kernel(
                             w_refs[k_views][:], b_refs[k_views][:]), 0.0).astype(cd)
     rgb_logits = _mm_pl(hv, w_refs[k_rgb][:], b_refs[k_rgb][:])
 
-    _, _, _, w, _, _ = _mip_composite_lane(sigma, t0, t1, d3, sid, s)
+    if _COMPOSITE_MODE == "rows":
+        scr_ref = refs[2 * n_w + 2]
+        sig_rows = _lanes_to_rows_vmem(sigma, scr_ref, r_blk, s)
+        _, _, _, w_rows, _, _, _ = _mip_composite_rows(
+            sig_rows, z_ref[:, :-1].astype(jnp.float32),
+            z_ref[:, 1:].astype(jnp.float32), odvr_ref[:, 3:6], r_blk, s)
+        wout_ref[:] = w_rows
+        w = _rows_to_lanes(wout_ref, r_blk, s)
+    else:
+        _, _, _, w, _, _ = _mip_composite_lane(sigma, t0, t1, d3, sid, s)
     rgb = jax.nn.sigmoid(rgb_logits)
     mids = (t0 + t1) * 0.5
     vals = jnp.concatenate([w * rgb, w * mids, w], axis=0)
     maps_ref[:] = jax.lax.dot_general(seg_ref[:], vals, (((0,), (1,)), ((), ())),
                                       preferred_element_type=jnp.float32)
-    _store_rows(wout_ref, w, r_blk, s)
+    if _COMPOSITE_MODE != "rows":
+        _store_rows(wout_ref, w, r_blk, s)
 
 
 def _mip_train_bwd_kernel(
@@ -1492,20 +1696,40 @@ def _mip_train_bwd_kernel(
                      0.0).astype(cd)
     rgb_logits = _mm_pl(hv, w_refs[k_rgb][:], b_refs[k_rgb][:])
 
-    alpha, y, T, w, e, D = _mip_composite_lane(sigma, t0, t1, d3, sid, s)
+    if _COMPOSITE_MODE == "rows":
+        # ONE scratch reused sequentially (see _train_render_bwd_kernel)
+        scr_ref = refs[-1]
+        sig_rows = _lanes_to_rows_vmem(sigma, scr_ref, r_blk, s)
+        alpha_r, y_r, T_r, w_rows, e_r, D_r, sig_r = _mip_composite_rows(
+            sig_rows, z_ref[:, :-1].astype(jnp.float32),
+            z_ref[:, 1:].astype(jnp.float32), odvr_ref[:, 3:6], r_blk, s)
+        w = _rows_to_lanes_vmem(w_rows, scr_ref, r_blk, s)
+    else:
+        alpha, y, T, w, e, D = _mip_composite_lane(sigma, t0, t1, d3, sid, s)
     rgb = jax.nn.sigmoid(rgb_logits)
     mids = (t0 + t1) * 0.5
 
     # ---- composite cotangents (maps rows: w*rgb x3, w*mids, w) ------------
     dw = (dvals[0:1] * rgb[0:1] + dvals[1:2] * rgb[1:2] + dvals[2:3] * rgb[2:3]
           + dvals[3:4] * mids + dvals[4:5])
-    dw = dw + _rows_to_lanes(dwin_ref, r_blk, s).astype(jnp.float32)
     d_rgb = (dvals[0:3] * w) * (rgb * (1.0 - rgb))
-    dalpha = dw * T
-    dT = dw * alpha
-    dy = _seg_rev_cumsum_excl(dT * T, sid, s) / y
-    dalpha = dalpha - dy
-    d_sigma = jnp.where(sigma > 0.0, dalpha * e * D, 0.0)
+    if _COMPOSITE_MODE == "rows":
+        dw_r = (_lanes_to_rows_vmem(dw, scr_ref, r_blk, s)
+                + dwin_ref[:].astype(jnp.float32))
+        dalpha_r = dw_r * T_r
+        dT_r = dw_r * alpha_r
+        dy_r = _rev_cumsum_excl_rows(dT_r * T_r, s) / y_r
+        dalpha_r = dalpha_r - dy_r
+        d_sigma = _rows_to_lanes_vmem(
+            jnp.where(sig_r > 0.0, dalpha_r * e_r * D_r, 0.0),
+            scr_ref, r_blk, s)
+    else:
+        dw = dw + _rows_to_lanes(dwin_ref, r_blk, s).astype(jnp.float32)
+        dalpha = dw * T
+        dT = dw * alpha
+        dy = _seg_rev_cumsum_excl(dT * T, sid, s) / y
+        dalpha = dalpha - dy
+        d_sigma = jnp.where(sigma > 0.0, dalpha * e * D, 0.0)
 
     # ---- MLP reverse sweep (planar; no semantic branch) -------------------
     d_rgb_c = d_rgb.astype(cd)
@@ -1599,6 +1823,8 @@ def _mip_train_fwd_impl(ws, bs, odvr, z_vals, seed, depth, skips, multires,
             jax.ShapeDtypeStruct((n_blocks * r_blk, 5), jnp.float32),
             jax.ShapeDtypeStruct((n_blocks * r_blk, S), jnp.float32),
         ],
+        scratch_shapes=([pltpu.VMEM((r_blk, S), jnp.float32)]
+                        if _COMPOSITE_MODE == "rows" else []),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -1662,6 +1888,8 @@ def _mip_train_bwd(depth, skips, multires, multires_views, compute_dtype_name,
         out_shape=([jax.ShapeDtypeStruct(sh, jnp.float32) for sh in w_shapes]
                    + [jax.ShapeDtypeStruct((nb, 1), jnp.float32)
                       for nb in b_sizes]),
+        scratch_shapes=([pltpu.VMEM((r_blk, S), jnp.float32)]
+                        if _COMPOSITE_MODE == "rows" else []),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,

@@ -287,3 +287,59 @@ def test_bcast_mode_split_matches_highest(nets, key):
                     jax.tree_util.tree_leaves(outs["split"])):
         np.testing.assert_allclose(np.array(a), np.array(b),
                                    atol=1e-6, rtol=1e-6)
+
+
+def test_composite_mode_rows_matches_lanes(nets, key):
+    """The row-major composite (_COMPOSITE_MODE="rows", [R_blk, S] blocks,
+    rays on sublanes) against the round-3 lane-major segmented form, through
+    eval render, the train path's grads, and the mip train VJP. Designed
+    BIT-equal (same doubling tree per ray, same input bits — see
+    fused_render._composite_rows); the on-chip claim is verified by
+    tools/perf_composite_rows.py."""
+    import dataclasses as _dc
+
+    from nerfsos_tpu.models.mip import MipNeRFNet
+    from nerfsos_tpu.ops.pallas import fused_render as fr
+
+    xla, fused, params = nets
+    rays = _rays(key, 20)
+    mcfg = NeRFConfig(netwidth=16, netdepth=5, n_samples=8, n_importance=8,
+                      multires=4, multires_views=2, ray_block=4096,
+                      fused_field=True)
+    mnet = MipNeRFNet(_dc.replace(mcfg, use_semantics=False))
+    mparams = mnet.init(jax.random.PRNGKey(5))
+    mo, md = jax.random.normal(jax.random.PRNGKey(6), (2, 12, 3))
+    mr = jnp.stack([mo, md])
+
+    outs = {}
+    old = fr._COMPOSITE_MODE
+    try:
+        for mode in ("lanes", "rows"):
+            fr._COMPOSITE_MODE = mode
+            ev = fused(params, rays, (1.0, 4.0), train=False,
+                       coarse_outputs=False)
+            gt = jax.random.uniform(jax.random.PRNGKey(4), (20, 3))
+
+            def loss(p):
+                o = fused(p, rays, (1.0, 4.0), train=True,
+                          key=jax.random.PRNGKey(3))
+                return (jnp.mean((o["rgb"] - gt) ** 2)
+                        + jnp.mean(o["semantics"] ** 2)
+                        + jnp.mean(o["depth"]))
+
+            grads = jax.grad(loss)(params)
+
+            def mip_loss(p):
+                o = mnet(p, mr, (1.0, 4.0), train=True,
+                         key=jax.random.PRNGKey(8),
+                         radii=jnp.full((12,), 0.002))
+                return jnp.mean(o["rgb"] ** 2) + jnp.mean(o["depth"])
+
+            mgrads = jax.grad(mip_loss)(mparams)
+            outs[mode] = (ev, grads, mgrads)
+    finally:
+        fr._COMPOSITE_MODE = old
+    for a, b in zip(jax.tree_util.tree_leaves(outs["lanes"]),
+                    jax.tree_util.tree_leaves(outs["rows"])):
+        np.testing.assert_allclose(np.array(a), np.array(b),
+                                   atol=1e-6, rtol=1e-6)
