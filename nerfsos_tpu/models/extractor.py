@@ -157,6 +157,77 @@ class Dino:
         return out["cls_"], out["attn"]
 
 
+class SyntheticExtractor:
+    """Oracle photometric feature extractor — a TEST HARNESS, not a
+    reference component (the reference always loads pretrained DINO,
+    ``models/extractor.py:29`` upstream).
+
+    Interface-compatible with ``VitExtractor.get_vit_attn_feat`` (same
+    224^2 nearest resize + ImageNet normalization, same 16x16 token grid,
+    same ``{"attn", "cls_", "feat"}`` contract), but the token "features"
+    are local photometric statistics — per-patch mean/std RGB — lifted to
+    ``embed_dim`` through a fixed deterministic projection. On textured
+    synthetic scenes these carry object identity, unlike a random-init ViT
+    whose features measurably corrupt the trunk (REHEARSAL_r03 SOS rows:
+    clus_ari 0.006). This lets the APPEARANCE-correlation path
+    (``losses/correlation.py``; reference ``utils/image.py:263-400``) be
+    driven to a held-out segmentation-quality endpoint in environments
+    with no pretrained weights: ``tools/validate_sos_protocol.py`` phase 3,
+    CLI ``--dino_synthetic``.
+
+    ``attn`` is photometric saliency (distance of each token's stats from
+    the image mean, L1-normalized) so ``find_fg_flip`` orients labels to
+    the photometrically-distinct object.
+    """
+
+    def __init__(self, embed_dim: int = 384, dtype=jnp.float32):
+        self.model_name = "synthetic_photometric"
+        self.patch_size = 16
+        self.embed_dim = embed_dim
+        self.num_heads = 1
+        self.dtype = dtype
+        # Fixed projection stats(6) -> embed_dim: deterministic (PRNGKey(0)),
+        # so features are a pure function of the image. Scaled like a random
+        # feature map (1/sqrt(fan_in)).
+        self.params = {
+            "proj": jax.random.normal(jax.random.PRNGKey(0),
+                                      (6, embed_dim), jnp.float32)
+            / jnp.sqrt(6.0)
+        }
+
+    # interface parity with VitExtractor ---------------------------------
+    def get_patch_size(self) -> int:
+        return self.patch_size
+
+    def get_head_num(self) -> int:
+        return self.num_heads
+
+    def get_embedding_dim(self) -> int:
+        return self.embed_dim
+
+    def get_vit_attn_feat(self, x: jnp.ndarray, params: Optional[Any] = None,
+                          resize: bool = True) -> Dict[str, jnp.ndarray]:
+        """x [B, H, W, 3] in [0,1] (H, W patch multiples when resize=False)."""
+        params = self.params if params is None else params
+        if resize:
+            x = resize_nearest_torch(x, 224, 224)
+        x = normalize_imagenet(x)
+        B, H, W, _ = x.shape
+        ps = self.patch_size
+        gh, gw = H // ps, W // ps
+        p = x.reshape(B, gh, ps, gw, ps, 3)
+        mu = p.mean(axis=(2, 4))                       # [B, gh, gw, 3]
+        sd = jnp.sqrt(jnp.maximum(
+            (p * p).mean(axis=(2, 4)) - mu * mu, 0.0))
+        stats = jnp.concatenate([mu, sd], axis=-1).reshape(B, gh * gw, 6)
+        feat = (stats @ params["proj"]).astype(self.dtype)  # [B, N, C]
+        cls_ = feat.mean(axis=1)                            # [B, C]
+        sal = jnp.abs(stats - stats.mean(axis=1, keepdims=True)).sum(-1)
+        attn = (sal / jnp.maximum(sal.sum(axis=-1, keepdims=True), 1e-8))
+        return {"attn": attn[:, None, :].astype(self.dtype), "cls_": cls_,
+                "feat": feat}
+
+
 def attn_cosine_sim(x: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
     """Pairwise token cosine similarity (reference ``models/extractor.py:12-17``)."""
     x = x[0]

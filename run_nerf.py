@@ -126,6 +126,12 @@ def create_arg_parser() -> ConfigArgumentParser:
     parser.add_argument("--dino_ckpt", type=str, default="",
                         help="local path to DINO ViT-S/16 torch weights "
                              "(torch.hub is unavailable offline)")
+    parser.add_argument("--dino_synthetic", action="store_true", default=False,
+                        help="replace the DINO backbone with the photometric "
+                             "oracle extractor (end-to-end quality gates in "
+                             "weightless environments; NOT a reference "
+                             "feature — see models/extractor.py "
+                             "SyntheticExtractor)")
     parser.add_argument("--lpips_path", type=str, default="",
                         help="local path to the lpips package's linear-head "
                              "weights (e.g. lpips/weights/v0.1/alex.pth); "
@@ -214,14 +220,17 @@ def build_dino(args):
     import jax
     import jax.numpy as jnp
 
-    from nerfsos_tpu.models.extractor import VitExtractor
+    from nerfsos_tpu.models.extractor import SyntheticExtractor, VitExtractor
 
     # DINO inference follows the field's compute dtype: f32 by default
     # (torch parity); bf16 halves the extractor forward on the MXU. Features
     # only feed the no-grad fd / sim-matrix inputs of the correlation losses.
-    dino = VitExtractor("dino_vits16",
-                        dtype=jnp.bfloat16 if args.compute_dtype == "bfloat16"
-                        else jnp.float32)
+    dt = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+    if args.dino_synthetic:
+        print("> Photometric oracle extractor (--dino_synthetic): informative "
+              "features without pretrained weights — quality gates only.")
+        return SyntheticExtractor(dtype=dt)
+    dino = VitExtractor("dino_vits16", dtype=dt)
     if args.dino_ckpt and os.path.exists(args.dino_ckpt):
         dino.load_torch_checkpoint(args.dino_ckpt)
         print(f"> Loaded DINO weights from {args.dino_ckpt}")

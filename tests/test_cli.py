@@ -237,6 +237,32 @@ def test_cli_sos_mode_end_to_end(scene):
     assert "total_clus_ari" in log
 
 
+def test_cli_sos_synthetic_extractor(scene):
+    """--dino_synthetic swaps the random-init ViT for the photometric oracle
+    (models/extractor.py SyntheticExtractor) through the FULL SOS driver:
+    patch dataset, appearance + geo correlation losses, frozen backbone,
+    eval with find_fg_flip riding the oracle's saliency attention. This is
+    the CPU smoke of the appearance-path quality gate
+    (tools/validate_sos_protocol.py phase 3)."""
+    data, basedir = scene
+    args = _args(
+        data, basedir, "--expname", "smoke_sos_synth",
+        "--max_steps", "2", "--i_print", "1", "--i_weights", "100000",
+        "--patch_tune", "--batch_size", "2", "--patch_size", "4",
+        "--patch_stride", "2", "--use_dino", "--dino_synthetic",
+        "--use_correlation", "--use_geoCorr", "--rand_neg", "--fix_backbone",
+        "--correlation_w", "1.0", "--Gcorrelation_w", "0.01",
+        "--sem_with_coord", "--use_masks", "--clus_no_sfm", "--ret_cluster",
+    )
+    args.no_semantics = False
+    args.use_semantics = True
+    run_nerf.main(args)
+    log = json.load(open(os.path.join(basedir, "smoke_sos_synth", "eval",
+                                      "log.json")))
+    assert "total_clus_ari" in log
+    assert np.isfinite(log["total_psnr"])
+
+
 def test_cli_build_lpips(scene, tmp_path):
     """--lpips_path/--lpips_backbone_path wire local torch weights into eval;
     without them build_lpips returns None (eval reports lpips as null)."""

@@ -211,3 +211,40 @@ def test_dino_head_shapes(key):
     p = head.init(key, jnp.ones((4, 384)))
     out = head.apply(p, jnp.ones((4, 384)))
     assert out.shape == (4, 64)
+
+
+def test_synthetic_extractor_contract():
+    """SyntheticExtractor (the weightless quality-gate oracle) matches the
+    VitExtractor return contract, is deterministic, and its features
+    actually separate photometrically-distinct regions — the property that
+    lets it drive the appearance-correlation loss to a segmentation
+    endpoint (tools/validate_sos_protocol.py phase 3)."""
+    from nerfsos_tpu.models.extractor import SyntheticExtractor
+
+    ex = SyntheticExtractor()
+    # two-tone image: left red-ish, right blue-ish
+    x = np.zeros((2, 64, 64, 3), np.float32)
+    x[..., :32, 0] = 0.9
+    x[..., 32:, 2] = 0.8
+    out = ex.get_vit_attn_feat(jnp.array(x))
+    assert out["feat"].shape == (2, 196, 384)
+    assert out["cls_"].shape == (2, 384)
+    assert out["attn"].shape == (2, 1, 196)
+    np.testing.assert_allclose(np.array(out["attn"]).sum(-1), 1.0, atol=1e-5)
+
+    out2 = ex.get_vit_attn_feat(jnp.array(x), params=ex.params)
+    np.testing.assert_array_equal(np.array(out["feat"]), np.array(out2["feat"]))
+
+    # informativeness: tokens within one color region are mutually closer
+    # than tokens across regions
+    f = np.array(out["feat"][0]).reshape(14, 14, 384)
+    left, right = f[7, 2], f[7, 11]
+    left2 = f[3, 3]
+    d_same = np.linalg.norm(left - left2)
+    d_cross = np.linalg.norm(left - right)
+    assert d_cross > 5 * d_same
+
+    # non-square resize=False path (find_fg_flip uses it)
+    y = jnp.array(np.random.RandomState(0).rand(1, 32, 48, 3).astype(np.float32))
+    o = ex.get_vit_attn_feat(y, resize=False)
+    assert o["feat"].shape == (1, (32 // 16) * (48 // 16), 384)

@@ -11,11 +11,19 @@ Re-establishes the round-1 quality claim with the CORRECTED geometry loss
      as the only segmentation signal (DINO is random-init offline, so the
      appearance loss is off; geo corr needs only depth + the CLS sim matrix);
   4. held-out evaluation: k-means clustering of the learned semantic logits
-     vs GT masks -> ARI.
+     vs GT masks -> ARI;
+  5. (phase 3, skippable with --geo-only) a SECOND finetune from the same
+     pretrain ckpt with the APPEARANCE correlation loss as the dominant
+     signal (production weights: correlation_w 1, Gcorrelation_w 0.01 —
+     scripts/train_flower_node0.sh), driven by the photometric oracle
+     extractor (--dino_synthetic, models/extractor.py SyntheticExtractor):
+     informative features without pretrained DINO weights, so the appearance
+     path gets a held-out QUALITY endpoint, not just numerical parity.
 
 Run on the TPU:  PYTHONPATH=$PYTHONPATH:/root/repo python tools/validate_sos_protocol.py
-Writes everything under /tmp/sos_protocol/ and prints a PASS/FAIL summary
-(pass = held-out clus_ari >= 0.5 and pretrain PSNR preserved within 0.5 dB).
+Writes everything under /tmp/sos_protocol/ (incl. summary.json) and prints a
+PASS/FAIL summary (pass = each finetune's held-out clus_ari >= 0.5 and the
+pretrain PSNR preserved within 0.5 dB).
 """
 from __future__ import annotations
 
@@ -156,9 +164,33 @@ def main():
     post_psnr = fin["total_psnr"]
     print(f"[protocol] finetune held-out clus ARI: {ari:.3f}  PSNR: {post_psnr:.2f} dB")
 
+    # ---- 3. appearance-dominant finetune (photometric oracle features) -----
+    summary = {"pretrain_psnr": pre_psnr, "geo": {"clus_ari": ari, "psnr": post_psnr}}
     ok = ari >= 0.5 and post_psnr >= pre_psnr - 0.5
+    if "--geo-only" not in sys.argv:
+        run_nerf.main(_args(
+            data, logs, "--expname", "finetune_app", "--max_steps", "2000",
+            "--use_semantics", "--sem_with_coord", "--raw_noise_std", "1.0",
+            "--patch_tune", "--patch_size", "16", "--patch_stride", "2",
+            "--batch_size", "8", "--fix_backbone",
+            "--use_dino", "--dino_synthetic", "--use_correlation", "--use_geoCorr",
+            "--correlation_w", "1.0", "--Gcorrelation_w", "0.01",
+            "--geo_corr_params", "0.5", "1", "3", "1",
+            "--ckpt_path", ckpt, "--use_masks",
+        ))
+        with open(os.path.join(logs, "finetune_app", "eval", "log.json")) as f:
+            fa = json.load(f)
+        ari_app, psnr_app = fa["total_clus_ari"], fa["total_psnr"]
+        print(f"[protocol] appearance finetune held-out clus ARI: {ari_app:.3f}"
+              f"  PSNR: {psnr_app:.2f} dB")
+        summary["appearance"] = {"clus_ari": ari_app, "psnr": psnr_app}
+        ok = ok and ari_app >= 0.5 and psnr_app >= pre_psnr - 0.5
+
+    summary["pass"] = ok
+    with open(os.path.join(root, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=1)
     print(f"[protocol] {'PASS' if ok else 'FAIL'} "
-          f"(ari={ari:.3f} >= 0.5, psnr {post_psnr:.2f} vs pretrain {pre_psnr:.2f})")
+          f"({json.dumps(summary)})")
     return 0 if ok else 1
 
 
