@@ -29,10 +29,12 @@ Gate sequence (BASELINE.md "Rebuild targets" + reference
 
 Synthetic mode swaps in the analytic textured-sphere scene (GT masks from
 the ray-sphere hit test), pretrains briefly instead of ingesting a
-checkpoint, disables the appearance loss (random-init DINO actively
-corrupts the trunk through it — REHEARSAL_r03 clus_ari 0.006; geometry-only
-is the honest synthetic signal, tools/validate_sos_protocol.py), and
-asserts the pipeline end-to-end. Exit 0 = all gates pass.
+checkpoint, and — when no --dino_ckpt is given — drives the FULL loss stack
+(appearance + geometry, production weights) through the photometric oracle
+extractor (--dino_synthetic, models/extractor.py SyntheticExtractor):
+informative features without pretrained weights, validated at held-out ARI
+0.985 on chip (PROTOCOL_r04.json; a random-init ViT would corrupt the trunk
+instead — REHEARSAL_r03 clus_ari 0.006). Exit 0 = all gates pass.
 """
 from __future__ import annotations
 
@@ -134,7 +136,10 @@ def main():
     lpips = (["--lpips_path", args.lpips_path] if args.lpips_path else [])
     if args.lpips_backbone_path:
         lpips += ["--lpips_backbone_path", args.lpips_backbone_path]
-    dino = (["--dino_ckpt", args.dino_ckpt] if args.dino_ckpt else [])
+    # real weights when given; in synthetic mode fall back to the photometric
+    # oracle so the appearance loss trains on informative features
+    dino = (["--dino_ckpt", args.dino_ckpt] if args.dino_ckpt
+            else ["--dino_synthetic"] if args.synthetic else [])
 
     # ---- gate 1: EVAL from the checkpoint --------------------------------
     drive(scene, args.out, "--expname", "gate_eval", *size, *ingest, *lpips,
@@ -151,14 +156,15 @@ def main():
         failures.append(("eval", f"psnr < {args.expect_psnr}", psnr))
 
     # ---- gate 2: SOS finetune (+ automatic end-of-train eval) ------------
-    app = (["--use_correlation", "--correlation_w", "1",
-            "--app_corr_params", "0.18", "1", "0.46", "1"]
-           if (args.dino_ckpt or not args.synthetic) else [])
+    # appearance loss is always on: real DINO when --dino_ckpt is given,
+    # the photometric oracle in synthetic mode (informative either way)
+    app = ["--use_correlation", "--correlation_w", "1",
+           "--app_corr_params", "0.18", "1", "0.46", "1"]
     drive(scene, args.out, "--expname", "gate_sos", *size, *ingest, *dino,
           *lpips, "--max_steps", sos_max, "--patch_tune", "--batch_size",
           "8", "--use_semantics", "--sem_with_coord", "--use_dino",
           "--use_geoCorr", "--fix_backbone", *app,
-          "--Gcorrelation_w", "0.01" if not args.synthetic else "1.0",
+          "--Gcorrelation_w", "0.01",
           "--geo_corr_params", *geo, "--use_masks", "--raw_noise_std", "1.0")
     sv = read_eval(args.out, "gate_sos")
     log("sos eval:", json.dumps({k: sv[k] for k in sv
