@@ -65,11 +65,26 @@ class SOSConfig:
     use_correlation: bool = True
     use_geoCorr: bool = True
     use_contrast: bool = False
+    # Frozen-backbone finetune (reference ``run_nerf.py:307-318``: every param
+    # except ``semantic_linear`` gets requires_grad=False, so torch autograd
+    # NEVER BUILDS the trunk backward). Here: the frozen param subtree is
+    # stop_gradient'ed inside the loss, so XLA's AD prunes the trunk reverse
+    # sweep the same way (grads for frozen leaves are structural zeros; the
+    # optimizer's multi_transform mask made their updates zero regardless, so
+    # post-update params are bit-identical). The FUSED kernel path needs the
+    # companion ``NeRFConfig.frozen_backbone`` flag to skip its opaque
+    # full-trunk VJP (custom_vjp is invisible to XLA's pruning).
+    fix_backbone: bool = False
 
 
 def _to_patches(x: jnp.ndarray, B: int, P: int) -> jnp.ndarray:
     """[B*P*P, C] -> [B, C, P, P] (the losses' NCHW layout)."""
     return x.reshape(B, P, P, -1).transpose(0, 3, 1, 2)
+
+
+def _rows(x: jnp.ndarray, offset: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Dynamic row-slice [offset : offset+n] along axis 0."""
+    return jax.lax.dynamic_slice_in_dim(x, offset, n, axis=0)
 
 
 def sos_loss_fn(
@@ -84,109 +99,18 @@ def sos_loss_fn(
     key: jax.Array,
     near: float,
     far: float,
+    axis: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    B, Psz = cfg.batch_size, cfg.patch_size
-    k_render, k_app0, k_app1, k_geo0, k_geo1 = jax.random.split(key, 5)
+    """The SOS loss — ONE body for both SPMD regimes, parameterized on the
+    shard axis (the ``_gmean(axis)`` pattern of losses/correlation.py).
 
-    out = net(params, batch["rays"], (near, far), key=k_render, train=True)
+    ``axis=None`` (GSPMD / single device): the batch dim is program-global,
+    every collective below degenerates to the identity and the RNG streams
+    are exactly the reference single-program draws.
 
-    gt = batch["target"]  # [B*P*P, 3]
-    img_loss = img2mse(out["rgb"], gt)
-    img_loss0 = img2mse(out["rgb0"], gt)
-    loss = cfg.rgb_w * (img_loss + img_loss0)
-    metrics = {
-        "img1": img_loss, "img0": img_loss0,
-        "psnr": mse2psnr(img_loss), "psnr0": mse2psnr(img_loss0),
-        "sem0": jnp.zeros(()), "sem1": jnp.zeros(()),  # dead CE, kept for log parity
-    }
-
-    zero = jnp.zeros(())
-    metrics.update(corr0=zero, corr1=zero, geo_corr0=zero, geo_corr1=zero, contrast=zero)
-
-    if cfg.use_dino:
-        rgb_patches = out["rgb"].reshape(B, Psz, Psz, 3)
-        if not cfg.use_contrast:
-            # Only the contrast loss can backprop through the ViT (fd is
-            # no-grad, negative mining is argmin); cut the DINO backward
-            # entirely when it's off. Reference keeps input grads live
-            # (trainer :169-170) — matched when use_contrast is set.
-            rgb_patches = jax.lax.stop_gradient(rgb_patches)
-        # two-step resize+normalize chain, preserved exactly:
-        #   nearest P -> P*stride (trainer :104), ImageNet norm (trainer :106),
-        #   nearest -> 224 + ImageNet norm again (inside the extractor).
-        dino_in = resize_nearest_torch(
-            rgb_patches, Psz * cfg.patch_stride, Psz * cfg.patch_stride,
-        )
-        dino_in = normalize_imagenet(dino_in)
-        dino = extractor.get_vit_attn_feat(dino_in, params=dino_params)
-        feat_tokens = dino["feat"]  # [B, N, C]
-        side = int(feat_tokens.shape[1] ** 0.5)
-        feat = feat_tokens.reshape(B, side, side, -1).transpose(0, 3, 1, 2)
-        sim_matrix = get_similarity_matrix(dino["cls_"])  # (trainer :125, unconditional)
-
-        if cfg.use_correlation:
-            sem0 = _to_patches(out["semantics0"], B, Psz)
-            sem = _to_patches(out["semantics"], B, Psz)
-            # paired: both heads' appearance losses (4 helper evaluations)
-            # batch through one sampling + einsum chain, exact RNG streams
-            # preserved (CorrelationLoss.pair_heads)
-            a0, a1 = app_loss.pair_heads(k_app0, k_app1, feat, sem0, sem,
-                                         sim_matrix)
-            corr0 = cfg.correlation_w * a0
-            corr1 = cfg.correlation_w * a1
-            loss = loss + corr0 + corr1
-            metrics.update(corr0=corr0, corr1=corr1)
-
-        if cfg.use_geoCorr:
-            sem0 = _to_patches(out["semantics0"], B, Psz)
-            sem = _to_patches(out["semantics"], B, Psz)
-            depth = _to_patches(out["depth"], B, Psz)  # FINE depth for both (:159-160)
-            ray_o = _to_patches(batch["rays"][0], B, Psz)
-            ray_d = _to_patches(batch["rays"][1], B, Psz)
-            # paired evaluation: the point side (fd sweeps, row stats, depth
-            # filter, argmin negatives) is bit-identical across the coarse/
-            # fine heads — geo_loss.pair computes it once (falls back to two
-            # calls for key-dependent negative draws).
-            gp0, gp1 = geo_loss.pair(k_geo0, k_geo1, depth, sem0, sem,
-                                     (ray_o, ray_d), sim_matrix)
-            g0 = cfg.Gcorrelation_w * gp0
-            g1 = cfg.Gcorrelation_w * gp1
-            loss = loss + g0 + g1
-            metrics.update(geo_corr0=g0, geo_corr1=g1)
-
-        if cfg.use_contrast:
-            c = cfg.contrast_w * nerf_contrastive(dino["cls_"])
-            loss = loss + c
-            metrics.update(contrast=c)
-
-    metrics["loss"] = loss
-    return loss, metrics
-
-
-def _rows(x: jnp.ndarray, offset: jnp.ndarray, n: int) -> jnp.ndarray:
-    """Dynamic row-slice [offset : offset+n] along axis 0."""
-    return jax.lax.dynamic_slice_in_dim(x, offset, n, axis=0)
-
-
-def sos_loss_fn_sharded(
-    net: NeRFNet,
-    extractor: VitExtractor,
-    app_loss: CorrelationLoss,
-    geo_loss: GeoCorrelationLoss,
-    cfg: SOSConfig,
-    params: Any,
-    dino_params: Any,
-    batch: Dict[str, jnp.ndarray],
-    key: jax.Array,
-    near: float,
-    far: float,
-    axis: str = "data",
-) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """Per-shard SOS loss for the shard_map DP path.
-
-    Same math as ``sos_loss_fn`` with the batch axis sharded: each shard
-    renders + DINO-encodes its local patches (all Pallas kernels shard-local),
-    then the cross-patch pieces ride explicit collectives —
+    ``axis="data"`` (shard_map): the batch axis is sharded — each shard
+    renders + DINO-encodes its local patches (all Pallas kernels shard-local)
+    and the cross-patch pieces ride explicit collectives:
 
       - CLS similarity / negative mining: ``all_gather`` of the (tiny) local
         CLS vectors -> global [B, B] sim matrix, global argmin;
@@ -199,19 +123,39 @@ def sos_loss_fn_sharded(
 
     The sampled correlation coordinates are drawn at GLOBAL shape from the
     shared key and row-sliced, so at deterministic render settings
-    (perturb=0, raw_noise_std=0) the loss matches the GSPMD path exactly;
-    with stochastic rendering the per-shard render key is folded with the
-    shard index (different but equally valid draws).
+    (perturb=0, raw_noise_std=0) the sharded loss matches the GSPMD path
+    exactly; with stochastic rendering the per-shard render key is folded
+    with the shard index (different but equally valid draws).
     Mean semantics: every term is a per-shard mean whose ``pmean`` equals the
     global mean (equal shard sizes).
     """
-    n_shards = jax.lax.axis_size(axis)
-    shard = jax.lax.axis_index(axis)
+    if cfg.fix_backbone:
+        # Reference parity (run_nerf.py:307-318): requires_grad=False on all
+        # but semantic_linear means torch never builds the trunk backward.
+        # stop_gradient on the frozen subtree hands XLA's AD the same pruning
+        # (frozen-leaf grads become structural zeros — which is what the
+        # optimizer's multi_transform mask turned them into anyway).
+        from nerfsos_tpu.engines.state import semantic_head_mask
+
+        head = semantic_head_mask(params)
+        params = jax.tree_util.tree_map(
+            lambda p, m: p if m else jax.lax.stop_gradient(p), params, head)
+
     B, Psz = cfg.batch_size, cfg.patch_size
-    Bl = B // n_shards
-    row0 = shard * Bl
+    if axis is None:
+        shard, Bl, row0 = 0, B, 0
+        take = lambda x: x          # local rows of a global-shape draw
+        _ag = lambda x: x           # all_gather over the shard axis
+    else:
+        n_shards = jax.lax.axis_size(axis)
+        shard = jax.lax.axis_index(axis)
+        Bl = B // n_shards
+        row0 = shard * Bl
+        take = lambda x: _rows(x, row0, Bl)
+        _ag = lambda x: jax.lax.all_gather(x, axis, axis=0, tiled=True)
     k_render, k_app0, k_app1, k_geo0, k_geo1 = jax.random.split(key, 5)
-    k_render = jax.random.fold_in(k_render, shard)
+    if axis is not None:
+        k_render = jax.random.fold_in(k_render, shard)
 
     out = net(params, batch["rays"], (near, far), key=k_render, train=True)
 
@@ -230,7 +174,14 @@ def sos_loss_fn_sharded(
     if cfg.use_dino:
         rgb_patches = out["rgb"].reshape(Bl, Psz, Psz, 3)
         if not cfg.use_contrast:
+            # Only the contrast loss can backprop through the ViT (fd is
+            # no-grad, negative mining is argmin); cut the DINO backward
+            # entirely when it's off. Reference keeps input grads live
+            # (trainer :169-170) — matched when use_contrast is set.
             rgb_patches = jax.lax.stop_gradient(rgb_patches)
+        # two-step resize+normalize chain, preserved exactly:
+        #   nearest P -> P*stride (trainer :104), ImageNet norm (trainer :106),
+        #   nearest -> 224 + ImageNet norm again (inside the extractor).
         dino_in = resize_nearest_torch(
             rgb_patches, Psz * cfg.patch_stride, Psz * cfg.patch_stride,
         )
@@ -240,18 +191,17 @@ def sos_loss_fn_sharded(
         side = int(feat_tokens.shape[1] ** 0.5)
         feat = feat_tokens.reshape(Bl, side, side, -1).transpose(0, 3, 1, 2)
 
-        cls_all = jax.lax.all_gather(dino["cls_"], axis, axis=0, tiled=True)
-        sim_matrix = get_similarity_matrix(cls_all)  # [B, B]
+        cls_all = _ag(dino["cls_"])
+        sim_matrix = get_similarity_matrix(cls_all)  # [B, B] (trainer :125)
 
-        def app_sharded(k, feat_l, code_l, feat_g, code_g):
+        def app_single(k, feat_l, code_l, feat_g, code_g):
             k_c1, k_c2, k_neg = jax.random.split(k, 3)
             F = app_loss.feature_samples
-            c1 = jax.random.uniform(k_c1, (B, F, F, 2)) * 2.0 - 1.0
-            c2 = jax.random.uniform(k_c2, (B, F, F, 2)) * 2.0 - 1.0
-            coords1, coords2 = _rows(c1, row0, Bl), _rows(c2, row0, Bl)
+            coords1 = take(jax.random.uniform(k_c1, (B, F, F, 2)) * 2.0 - 1.0)
+            coords2 = take(jax.random.uniform(k_c2, (B, F, F, 2)) * 2.0 - 1.0)
             feats = app_loss.sample(feat_l, coords1)
             code = app_loss.sample(code_l, coords1)
-            neg_idx = _rows(app_loss.negative_index(k_neg, B, sim_matrix), row0, Bl)
+            neg_idx = take(app_loss.negative_index(k_neg, B, sim_matrix))
             neg_feats = app_loss.sample(feat_g[neg_idx], coords2)
             neg_code = app_loss.sample(code_g[neg_idx], coords2)
             return (app_loss.neg_weight * app_loss.helper_mean(
@@ -261,8 +211,8 @@ def sos_loss_fn_sharded(
                         feats, feats, code, code, app_loss.self_shift,
                         axis=axis))
 
-        def geo_sharded(k, pts_l, code_l, pts_g, code_g):
-            neg_idx = _rows(geo_loss.negative_index(k, B, sim_matrix), row0, Bl)
+        def geo_single(k, pts_l, code_l, pts_g, code_g):
+            neg_idx = take(geo_loss.negative_index(k, B, sim_matrix))
             neg_pts, neg_code = pts_g[neg_idx], code_g[neg_idx]
             return (geo_loss.neg_weight * geo_loss.helper_mean(
                         pts_l, neg_pts, code_l, neg_code, geo_loss.neg_shift,
@@ -274,24 +224,22 @@ def sos_loss_fn_sharded(
         if cfg.use_correlation or cfg.use_geoCorr:
             sem0 = _to_patches(out["semantics0"], Bl, Psz)
             sem = _to_patches(out["semantics"], Bl, Psz)
-            sem0_g = jax.lax.all_gather(sem0, axis, axis=0, tiled=True)
-            sem_g = jax.lax.all_gather(sem, axis, axis=0, tiled=True)
+            sem0_g = _ag(sem0)
+            sem_g = _ag(sem)
 
-        def app_sharded_pair(k0, k1, feat_l, code0_l, code1_l, feat_g,
-                             code0_g, code1_g):
+        def app_pair(k0, k1, feat_l, code0_l, code1_l, feat_g,
+                     code0_g, code1_g):
             """Both heads' appearance losses, all four helper evaluations
-            batched (the shard-local twin of CorrelationLoss.pair_heads;
+            batched (CorrelationLoss.pair_heads with shard-local sampling;
             coordinate draws at GLOBAL shape from the shared keys, exact
             per-call RNG streams)."""
             F = app_loss.feature_samples
             k1a, k2a, kn0 = jax.random.split(k0, 3)
             k1b, k2b, _ = jax.random.split(k1, 3)
             c1a, c1b, c2a, c2b = (
-                _rows(jax.random.uniform(k, (B, F, F, 2)) * 2.0 - 1.0,
-                      row0, Bl)
+                take(jax.random.uniform(k, (B, F, F, 2)) * 2.0 - 1.0)
                 for k in (k1a, k1b, k2a, k2b))
-            neg_idx = _rows(app_loss.negative_index(kn0, B, sim_matrix),
-                            row0, Bl)
+            neg_idx = take(app_loss.negative_index(kn0, B, sim_matrix))
             featn = feat_g[neg_idx]
             coords = jnp.concatenate([c1a, c1b, c2a, c2b])
             fs = app_loss.sample(
@@ -312,21 +260,21 @@ def sos_loss_fn_sharded(
                     app_loss.neg_weight * m[3] + app_loss.self_weight * m[1])
 
         if cfg.use_correlation:
-            feat_g = jax.lax.all_gather(feat, axis, axis=0, tiled=True)
+            feat_g = _ag(feat)
             if app_loss.rand_neg:
                 # key-dependent negative permutations: independent draws
-                a0 = app_sharded(k_app0, feat, sem0, feat_g, sem0_g)
-                a1 = app_sharded(k_app1, feat, sem, feat_g, sem_g)
+                a0 = app_single(k_app0, feat, sem0, feat_g, sem0_g)
+                a1 = app_single(k_app1, feat, sem, feat_g, sem_g)
             else:
-                a0, a1 = app_sharded_pair(k_app0, k_app1, feat, sem0, sem,
-                                          feat_g, sem0_g, sem_g)
+                a0, a1 = app_pair(k_app0, k_app1, feat, sem0, sem,
+                                  feat_g, sem0_g, sem_g)
             corr0 = cfg.correlation_w * a0
             corr1 = cfg.correlation_w * a1
             loss = loss + corr0 + corr1
             metrics.update(corr0=corr0, corr1=corr1)
 
         if cfg.use_geoCorr:
-            depth = _to_patches(out["depth"], Bl, Psz)
+            depth = _to_patches(out["depth"], Bl, Psz)  # FINE depth for both (:159-160)
             ray_o = _to_patches(batch["rays"][0], Bl, Psz)
             ray_d = _to_patches(batch["rays"][1], Bl, Psz)
             # depth filter with the BATCH-GLOBAL max-under (reference :455).
@@ -337,20 +285,21 @@ def sos_loss_fn_sharded(
             maxd = geo_loss.max_depth
             depth_ng = jax.lax.stop_gradient(depth)
             under = jnp.where(depth_ng < maxd, depth_ng, -jnp.inf)
-            max_under = jax.lax.pmax(jnp.max(under), axis)
+            max_under = jnp.max(under)
+            if axis is not None:
+                max_under = jax.lax.pmax(max_under, axis)
             depth_f = jnp.where(depth_ng > maxd, max_under, depth_ng)
             pts = geo_loss.depth2pts(depth_f, ray_o, ray_d)
-            pts_g = jax.lax.all_gather(pts, axis, axis=0, tiled=True)
+            pts_g = _ag(pts)
             if geo_loss.rand_neg:
                 # key-dependent negative permutations: keep independent draws
-                g0 = cfg.Gcorrelation_w * geo_sharded(k_geo0, pts, sem0, pts_g, sem0_g)
-                g1 = cfg.Gcorrelation_w * geo_sharded(k_geo1, pts, sem, pts_g, sem_g)
+                g0 = cfg.Gcorrelation_w * geo_single(k_geo0, pts, sem0, pts_g, sem0_g)
+                g1 = cfg.Gcorrelation_w * geo_single(k_geo1, pts, sem, pts_g, sem_g)
             else:
                 # sim-matrix argmin negatives are key-independent — all four
                 # geometry sweeps (neg/self x coarse/fine heads) ride one
                 # kernel group (see GeoCorrelationLoss.quad)
-                neg_idx = _rows(geo_loss.negative_index(k_geo0, B, sim_matrix),
-                                row0, Bl)
+                neg_idx = take(geo_loss.negative_index(k_geo0, B, sim_matrix))
                 n0, n1, s0, s1 = geo_loss.quad(
                     pts, pts_g[neg_idx], sem0, sem0_g[neg_idx],
                     sem, sem_g[neg_idx], axis=axis)
@@ -368,6 +317,11 @@ def sos_loss_fn_sharded(
 
     metrics["loss"] = loss
     return loss, metrics
+
+
+def sos_loss_fn_sharded(*args, axis: str = "data", **kwargs):
+    """Back-compat alias: ``sos_loss_fn`` with the shard axis bound."""
+    return sos_loss_fn(*args, **kwargs, axis=axis)
 
 
 def make_sos_train_step(
@@ -403,9 +357,9 @@ def make_sos_train_step(
 
         def local_grads(params, dino_params, batch, key):
             (_, metrics), grads = jax.value_and_grad(
-                lambda p: sos_loss_fn_sharded(net, extractor, app_loss,
-                                              geo_loss, cfg, p, dino_params,
-                                              batch, key, near, far),
+                lambda p: sos_loss_fn(net, extractor, app_loss,
+                                      geo_loss, cfg, p, dino_params,
+                                      batch, key, near, far, axis="data"),
                 has_aux=True,
             )(params)
             # check_vma=False -> classic shard_map AD (see trainer.py):
