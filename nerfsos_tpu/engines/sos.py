@@ -140,6 +140,13 @@ def sos_loss_fn(
         head = semantic_head_mask(params)
         params = jax.tree_util.tree_map(
             lambda p, m: p if m else jax.lax.stop_gradient(p), params, head)
+        # The fused train kernels' custom VJP is OPAQUE to that pruning —
+        # swap in the frozen-cfg twin so its backward runs the semantic-
+        # head-only sweep (fused_render._train_frozen_bwd_kernel) instead of
+        # the full trunk reverse (same forward, bit-identical sem grads).
+        if net.cfg.fused_field and net.cfg.use_semantics and \
+                not net.cfg.frozen_backbone:
+            net = NeRFNet(dataclasses.replace(net.cfg, frozen_backbone=True))
 
     B, Psz = cfg.batch_size, cfg.patch_size
     if axis is None:

@@ -71,6 +71,14 @@ class NeRFConfig:
     # anything trainable sits upstream of the field inputs (e.g. a camera
     # transformer optimized through the render).
     field_input_grads: bool = False
+    # Reference --fix_backbone (run_nerf.py:307-318): every param except the
+    # semantic head is requires_grad=False, so torch NEVER builds the trunk
+    # backward. With this flag the fused train kernels' custom VJP runs the
+    # semantic-head-only sweep (no trunk reverse, no composite cotangents —
+    # fused_render._train_frozen_bwd_kernel); grads for frozen leaves are
+    # exact zeros. The XLA path needs no flag: stop_gradient on the frozen
+    # subtree (engines/sos.py) lets XLA's AD prune the trunk backward itself.
+    frozen_backbone: bool = False
     # Override for fused_field's planar-VJP backward point-block (None = the
     # kernel default, 1024 bf16). Only the paths that reach that VJP read it
     # — today that is MIP training (the classic train path uses the fused

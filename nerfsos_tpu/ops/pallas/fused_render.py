@@ -681,6 +681,16 @@ _TRAIN_TARGET_N = 1024
 # so its measured optimum is smaller than _EVAL_TARGET_N.
 _MIP_TARGET_N = 1536
 
+# Mip eval Gaussian source (VERDICT r4 #4 counter-hypothesis A/B):
+#   "kernel" — conical-frustum Gaussian (+ composite D, mids) built in-kernel
+#              on the VPU per point (_mip_gauss_lane), the round-3/4 design;
+#   "stream" — XLA precomputes the identical math (_mip_gauss_planar_xla) and
+#              streams it as one perfectly-tiled [8, N] f32 operand (mean3,
+#              cov3, mids, D): trades ~32 B/pt of HBM traffic for the VPU
+#              prologue the mip accounting blames (ROUND4_NOTES #4).
+# A/B: tools/perf_mip_stream.py; parity: tests/test_mip.py.
+_MIP_GAUSS_MODE = "kernel"
+
 
 def _train_ray_block(s: int) -> int:
     if TRAIN_RAY_BLOCK is not None:
@@ -1112,10 +1122,165 @@ def _train_render_bwd_kernel(
         dcur = wd(w_refs[i][:], dpre)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12))
+def _train_frozen_bwd_kernel(
+    odv_ref, z_ref, dmaps_ref, win_ref, oh_ref,
+    mt_pts_ref, ph_pts_ref, *refs,
+    depth: int, skips: Tuple[int, ...],
+    sem_with_coord: bool, compute_dtype, r_blk: int, s: int,
+):
+    """Frozen-backbone backward: semantic-head dW/db ONLY.
+
+    Reference semantics (``run_nerf.py:307-318``): with ``--fix_backbone``
+    every param except ``semantic_linear`` has ``requires_grad=False``, so
+    torch autograd NEVER BUILDS the trunk backward — its reverse sweep is
+    just d(sem_map)/d(sem-head params) with the composite weights ``w`` as
+    non-grad constants. This kernel is that sweep: recompute the trunk
+    FORWARD (needed for the sem head's inputs; the alpha/feature/views/rgb
+    heads, the dirs PE, the composite, and the whole trunk reverse sweep are
+    all skipped), take ``w`` from the forward pass's weights OUTPUT
+    (bit-identical to a recompute — same kernel ops on the same operands, and
+    it carries the forward's noise draws for free), and accumulate only
+    dW/db for sem_0/sem_1.
+
+    Exactness vs the full backward's sem-head grads: ``dvals`` rides the same
+    exact split-broadcast epilogue, ``w`` is the same value bitwise, and the
+    two dW dots run on bit-identical operands in the same per-block grid
+    order — the sem grads match the full kernel's bit-for-bit (asserted by
+    tests/test_fused_render.py::test_frozen_backbone_grads_match_full).
+    """
+    n_w = depth + 2  # trunk layers + sem_0 + sem_1
+    w_refs = refs[:n_w]
+    b_refs = refs[n_w:2 * n_w]
+    dw_refs = refs[2 * n_w:2 * n_w + 2]
+    db_refs = refs[2 * n_w + 2:2 * n_w + 4]
+    cd = compute_dtype
+    n = r_blk * s
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for r in dw_refs + db_refs:
+            r[:] = jnp.zeros_like(r)
+
+    def tm(a, b):
+        return jax.lax.dot_general(a.astype(cd), b.astype(cd),
+                                   (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    oh = oh_ref[:]
+    if _BCAST_MODE == "split":
+        (od9, dvals), _ = _bcast_epilogue([odv_ref[:], dmaps_ref[:]], oh, cd)
+        od6 = od9[0:6]
+    else:
+        od6 = _bcast_dot(_transpose_small_pl(odv_ref[:])[0:6], oh)
+        dvals = _bcast_dot(_transpose_small_pl(dmaps_ref[:]), oh)
+    z_flat = _rows_to_lanes(z_ref, r_blk, s).astype(jnp.float32)
+    pts = od6[0:3] + od6[3:6] * z_flat
+
+    emb = _pe_in_kernel_pl(pts, mt_pts_ref[:], ph_pts_ref[:]).astype(cd)
+    it = iter(range(n_w))
+    h = _mlp_trunk(emb, w_refs, b_refs, it, depth, skips, cd)
+
+    k_s0, k_s1 = next(it), next(it)
+    sem_in = jnp.concatenate([h, emb], axis=0) if sem_with_coord else h
+    s_act = jnp.maximum(_mm_pl(sem_in, w_refs[k_s0][:], b_refs[k_s0][:]),
+                        0.0).astype(cd)
+
+    # sem_map = sum_i w_i * sem_i with w a non-grad constant: the per-point
+    # sem cotangent is just the broadcast sem-map cotangent scaled by w. The
+    # rgb/depth/acc map columns and the weights cotangent have exactly-zero
+    # dependence on the sem head — dropped, not approximated.
+    w = _rows_to_lanes(win_ref, r_blk, s).astype(jnp.float32)  # [1, N]
+    d_sem = dvals[5:] * w  # [sem_dim, N]
+
+    d_sem_c = d_sem.astype(cd)
+    dw_refs[1][:] += tm(s_act, d_sem_c)
+    db_refs[1][:] += jnp.sum(d_sem, 1, keepdims=True)
+    ds = jnp.where(s_act.astype(jnp.float32) > 0,
+                   jax.lax.dot_general(w_refs[k_s1][:].astype(cd), d_sem_c,
+                                       (((1,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32),
+                   0.0).astype(cd)
+    dw_refs[0][:] += tm(sem_in, ds)
+    db_refs[0][:] += jnp.sum(ds.astype(jnp.float32), 1, keepdims=True)
+
+
+def _train_render_frozen_bwd_impl(ws, bs, odv, z_vals, weights, dmaps,
+                                  depth, skips, multires, sem_with_coord,
+                                  compute_dtype_name,
+                                  interpret: Optional[bool] = None):
+    """pallas_call wrapper for the frozen-backbone backward.
+
+    Streams only what the sem-head sweep needs: ray geometry + z (for the
+    trunk forward recompute), the forward's weights output (25 MB at the
+    flagship fine shape — cheaper than recomputing alpha + composite), the
+    map cotangents, and the TRUNK+SEM weight subset (alpha/feature/views/rgb
+    and the dirs-PE constants never enter the kernel).
+    """
+    compute_dtype = jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
+    S = z_vals.shape[-1]
+    r_blk = _train_ray_block(S)
+    (odv, dmaps, weights), z_vals, R, pad = _pad_rays(
+        [odv, dmaps, weights], z_vals, r_blk)
+    if pad:
+        # padded rays replicate edge rays: zero their cotangent contribution
+        mask = (jnp.arange(z_vals.shape[0]) < R).astype(dmaps.dtype)
+        dmaps = dmaps * mask[:, None]
+    n_blocks = z_vals.shape[0] // r_blk
+    n_used = depth + 2
+    ws_u = ws[:depth] + ws[-2:]
+    bs_u = bs[:depth] + bs[-2:]
+    ws_c = tuple(w.astype(compute_dtype) for w in ws_u)
+    bs_col = tuple(b.astype(jnp.float32).reshape(-1, 1) for b in bs_u)
+    mt_pts, ph_pts = _pe_consts_pl(multires)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    onehot, _ = _bcast_masks(r_blk, S)
+    full = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
+                                    memory_space=pltpu.VMEM)
+    acc2d = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                       memory_space=pltpu.VMEM)
+    n_maps = dmaps.shape[-1]
+    sem_shapes = [ws_u[-2].shape, ws_u[-1].shape]
+    sem_b = [bs_u[-2].shape[0], bs_u[-1].shape[0]]
+    outs = pl.pallas_call(
+        functools.partial(
+            _train_frozen_bwd_kernel, depth=depth, skips=skips,
+            sem_with_coord=sem_with_coord, compute_dtype=compute_dtype,
+            r_blk=r_blk, s=S),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((r_blk, 9), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_blk, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_blk, n_maps), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_blk, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            full(onehot), full(mt_pts), full(ph_pts),
+            *[full(w) for w in ws_c],
+            *[full(b) for b in bs_col],
+        ],
+        out_specs=([acc2d(sh) for sh in sem_shapes]
+                   + [acc2d((nb, 1)) for nb in sem_b]),
+        out_shape=([jax.ShapeDtypeStruct(sh, jnp.float32) for sh in sem_shapes]
+                   + [jax.ShapeDtypeStruct((nb, 1), jnp.float32) for nb in sem_b]),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(odv, z_vals, dmaps, weights, onehot, mt_pts, ph_pts, *ws_c, *bs_col)
+
+    n_w = len(ws)
+    dws = [jnp.zeros_like(w) for w in ws]
+    dbs = [jnp.zeros_like(b) for b in bs]
+    dws[n_w - 2] = outs[0].astype(ws[n_w - 2].dtype)
+    dws[n_w - 1] = outs[1].astype(ws[n_w - 1].dtype)
+    dbs[n_w - 2] = outs[2][:, 0].astype(bs[n_w - 2].dtype)
+    dbs[n_w - 1] = outs[3][:, 0].astype(bs[n_w - 1].dtype)
+    return tuple(dws), tuple(dbs)
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12, 13))
 def _train_render(ws, bs, odv, z_vals, seed, depth, skips, multires,
                   multires_views, use_semantics, sem_with_coord,
-                  compute_dtype_name, noise_std):
+                  compute_dtype_name, noise_std, frozen=False):
     return _train_render_fwd_impl(ws, bs, odv, z_vals, seed, depth, skips,
                                   multires, multires_views, use_semantics,
                                   sem_with_coord, compute_dtype_name, noise_std)
@@ -1176,15 +1341,35 @@ def _train_render_fwd_impl(ws, bs, odv, z_vals, seed, depth, skips, multires,
 
 
 def _train_render_fwd(ws, bs, odv, z_vals, seed, *static):
-    out = _train_render_fwd_impl(ws, bs, odv, z_vals, seed, *static)
-    return out, (ws, bs, odv, z_vals, seed)
+    frozen = static[-1]
+    out = _train_render_fwd_impl(ws, bs, odv, z_vals, seed, *static[:-1])
+    # frozen mode: the backward takes the composite weights from the forward
+    # instead of recomputing sigma + noise + composite (bit-identical values;
+    # +25 MB of residual HBM at the flagship fine shape).
+    return out, (ws, bs, odv, z_vals, seed, out[1] if frozen else None)
 
 
 def _train_render_bwd(depth, skips, multires, multires_views, use_semantics,
-                      sem_with_coord, compute_dtype_name, noise_std,
+                      sem_with_coord, compute_dtype_name, noise_std, frozen,
                       residuals, cots, interpret: Optional[bool] = None):
-    ws, bs, odv, z_vals, seed = residuals
+    ws, bs, odv, z_vals, seed, res_weights = residuals
     dmaps, dweights = cots
+    if frozen:
+        # Reference --fix_backbone parity: only the semantic head is
+        # trainable, and nothing but the sem-map columns depends on it. The
+        # weights cotangent and the rgb/depth/acc columns are dropped with
+        # exactly-zero error (see _train_frozen_bwd_kernel).
+        if not use_semantics:
+            return (tuple(jnp.zeros_like(w) for w in ws),
+                    tuple(jnp.zeros_like(b) for b in bs),
+                    jnp.zeros_like(odv), jnp.zeros_like(z_vals),
+                    jnp.zeros_like(seed))
+        dws, dbs = _train_render_frozen_bwd_impl(
+            ws, bs, odv, z_vals, res_weights, dmaps,
+            depth, skips, multires, sem_with_coord, compute_dtype_name,
+            interpret=interpret)
+        return (dws, dbs, jnp.zeros_like(odv), jnp.zeros_like(z_vals),
+                jnp.zeros_like(seed))
     compute_dtype = jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
     S = z_vals.shape[-1]
     r_blk = _train_ray_block(S)
@@ -1266,6 +1451,11 @@ def fused_train_render_planar(params: Dict[str, Any], odv: jnp.ndarray,
     Args: odv [R, 9] (o, d, viewdirs columns), z_vals [R, S].
     Returns (maps [R, 5+sem], weights [R, S]) — see finish_maps.
     Gradients flow to params only (odv/z/key get exact zeros).
+
+    ``cfg.frozen_backbone`` switches the backward to the semantic-head-only
+    sweep (reference ``--fix_backbone``, ``run_nerf.py:307-318``): torch's
+    ``requires_grad=False`` never builds the trunk backward, and neither do
+    we — see _train_frozen_bwd_kernel.
     """
     mlp = params["mlp"]
     depth = cfg.netdepth if depth is None else depth
@@ -1274,11 +1464,12 @@ def fused_train_render_planar(params: Dict[str, Any], odv: jnp.ndarray,
         seed = jax.random.randint(noise_key, (1, 1), 0, 2 ** 31 - 1).astype(jnp.float32)
     else:
         seed = jnp.zeros((1, 1), jnp.float32)
+    frozen = bool(getattr(cfg, "frozen_backbone", False)) and cfg.use_semantics
     return _train_render(
         tuple(ws), tuple(bs), odv, z_vals, seed,
         depth, (4,), cfg.multires, cfg.multires_views,
         cfg.use_semantics, cfg.sem_with_coord, cfg.compute_dtype,
-        float(noise_std),
+        float(noise_std), frozen,
     )
 
 
@@ -1424,6 +1615,13 @@ def _mip_composite_lane(sigma, t0, t1, d3, sid, s: int):
     reuses (mirror of _composite_lane)."""
     norm_d = jnp.sqrt(d3[0:1] ** 2 + d3[1:2] ** 2 + d3[2:3] ** 2)
     D = (t1 - t0) * norm_d
+    return _mip_composite_from_D(sigma, D, sid, s)
+
+
+def _mip_composite_from_D(sigma, D, sid, s: int):
+    """Mip composite from precomputed per-point dists D (the streamed-Gaussian
+    path: D arrives from XLA instead of t0/t1/d3 lanes); the tail of
+    _mip_composite_lane, op-for-op."""
     e = jnp.exp(-jnp.maximum(sigma, 0.0) * D)
     alpha = 1.0 - e
     y = e + 1e-10
@@ -1431,17 +1629,73 @@ def _mip_composite_lane(sigma, t0, t1, d3, sid, s: int):
     return alpha, y, T, alpha * T, e, D
 
 
+def _mip_gauss_planar_xla(odvr: jnp.ndarray, z: jnp.ndarray,
+                          ray_shape: str) -> jnp.ndarray:
+    """XLA twin of _mip_gauss_lane (+ the composite's mids/D): [R, 10] rows,
+    [R, S+1] fenceposts -> [8, R*S] f32 planar (mean3, cov3, mids, D),
+    ray-major on lanes — one perfectly-tiled (8 sublanes) streamed operand.
+
+    Same closed forms, same op order, f32 throughout (reference
+    models/mip_nerf_net.py:95-105); kernel-vs-stream parity is asserted by
+    tests/test_mip.py and the on-chip A/B (tools/perf_mip_stream.py)."""
+    o = odvr[:, 0:3].astype(jnp.float32)
+    d = odvr[:, 3:6].astype(jnp.float32)
+    radii = odvr[:, 9:10].astype(jnp.float32)
+    z = z.astype(jnp.float32)
+    t0, t1 = z[:, :-1], z[:, 1:]
+    if ray_shape == "cone":
+        mu = (t0 + t1) * 0.5
+        hw = (t1 - t0) * 0.5
+        denom = 3.0 * mu * mu + hw * hw
+        t_mean = mu + (2.0 * mu * hw * hw) / denom
+        t_var = (hw * hw) / 3.0 - (4.0 / 15.0) * (
+            (hw ** 4) * (12.0 * mu * mu - hw * hw) / (denom * denom))
+        r_var = (radii * radii) * ((mu * mu) / 4.0 + (5.0 / 12.0) * hw * hw
+                                   - (4.0 / 15.0) * (hw ** 4) / denom)
+    else:  # cylinder
+        t_mean = (t0 + t1) * 0.5
+        r_var = (radii * radii) / 4.0
+        t_var = (t1 - t0) ** 2 / 12.0
+
+    mean = o[:, None, :] + d[:, None, :] * t_mean[..., None]      # [R, S, 3]
+    d_mag_sq = jnp.maximum(1e-10, d[:, 0:1] ** 2 + d[:, 1:2] ** 2
+                           + d[:, 2:3] ** 2)                       # [R, 1]
+    d_outer = d * d                                                # [R, 3]
+    cov = (t_var[..., None] * d_outer[:, None, :]
+           + r_var[..., None] * (1.0 - d_outer / d_mag_sq)[:, None, :])
+    mids = (t0 + t1) * 0.5
+    norm_d = jnp.sqrt(d[:, 0:1] ** 2 + d[:, 1:2] ** 2 + d[:, 2:3] ** 2)
+    dists = (t1 - t0) * norm_d
+    r, s = t0.shape
+    return jnp.concatenate([
+        mean.transpose(2, 0, 1).reshape(3, r * s),
+        cov.transpose(2, 0, 1).reshape(3, r * s),
+        mids.reshape(1, r * s),
+        dists.reshape(1, r * s),
+    ], axis=0)
+
+
 def _mip_render_kernel(
-    odvr_ref, z_ref, oh_ref, seg_ref,
-    mt_pts_ref, ph_pts_ref, mt_dirs_ref, ph_dirs_ref, *refs,
+    odvr_ref, z_ref, *rest,
     depth: int, skips: Tuple[int, ...], compute_dtype, r_blk: int, s: int,
-    ray_shape: str,
+    ray_shape: str, stream: bool = False,
 ):
     """One ray block: odvr [R_blk, 10] (o, d, viewdirs, radii columns),
     z [R_blk, S+1] fenceposts -> maps [R_blk, 5] (w·sigmoid(rgb) x3, w·mids,
-    acc) + weights [R_blk, S]."""
+    acc) + weights [R_blk, S].
+
+    ``stream``: the Gaussian/composite geometry (mean3, cov3, mids, D)
+    arrives as a precomputed [8, N] f32 operand from XLA
+    (_mip_gauss_planar_xla) instead of being built on the VPU — the VERDICT
+    r4 #4 counter-hypothesis arm (HBM traffic for prologue time)."""
     from nerfsos_tpu.ops.pallas.fused_field import _ipe_in_kernel_pl
 
+    if stream:
+        (gauss_ref, oh_ref, seg_ref, mt_pts_ref, ph_pts_ref,
+         mt_dirs_ref, ph_dirs_ref, *refs) = rest
+    else:
+        (oh_ref, seg_ref, mt_pts_ref, ph_pts_ref,
+         mt_dirs_ref, ph_dirs_ref, *refs) = rest
     n_w = depth + 4
     w_refs = refs[:n_w]
     b_refs = refs[n_w:2 * n_w]
@@ -1451,7 +1705,21 @@ def _mip_render_kernel(
 
     _, sid = _seg_ids(n, s)
     oh = oh_ref[:]
-    if _BCAST_MODE == "split":
+    odvr_t = None
+    if stream:
+        g = gauss_ref[0]  # [8, N] from the (1, 8, N) block
+        mean, cov = g[0:3], g[3:6]
+        mids, dists = g[6:7], g[7:8]
+        t0 = t1 = d3 = None
+        if _BCAST_MODE == "split":
+            # only the viewdirs PE needs broadcasting now
+            _, demb = _bcast_epilogue([odvr_ref[:, 6:9]], oh, cd,
+                                      dirs_cols=(0, 3),
+                                      mt_dirs_ref=mt_dirs_ref,
+                                      ph_dirs_ref=ph_dirs_ref)
+        else:
+            odvr_t = _transpose_small_pl(odvr_ref[:])
+    elif _BCAST_MODE == "split":
         (od10,), demb = _bcast_epilogue([odvr_ref[:]], oh, cd,
                                         dirs_cols=(6, 9),
                                         mt_dirs_ref=mt_dirs_ref,
@@ -1462,8 +1730,10 @@ def _mip_render_kernel(
         odr = _bcast_dot(jnp.concatenate([odvr_t[0:6], odvr_t[9:10]], axis=0),
                          oh)
         o3, d3, radii = odr[0:3], odr[3:6], odr[6:7]  # [*, N], exact
-    t0, t1, mean, cov = _mip_gauss_lane(z_ref, o3, d3, radii, r_blk,
-                                        ray_shape)
+    if not stream:
+        t0, t1, mean, cov = _mip_gauss_lane(z_ref, o3, d3, radii, r_blk,
+                                            ray_shape)
+        mids = (t0 + t1) * 0.5
     emb = _ipe_in_kernel_pl(mean, cov, mt_pts_ref[:]).astype(cd)
     it = iter(range(n_w))
     h = _mlp_trunk(emb, w_refs, b_refs, it, depth, skips, cd)
@@ -1488,10 +1758,11 @@ def _mip_render_kernel(
             z_ref[:, 1:].astype(jnp.float32), odvr_ref[:, 3:6], r_blk, s)
         wout_ref[:] = w_rows
         w = _rows_to_lanes(wout_ref, r_blk, s)
+    elif stream:
+        _, _, _, w, _, _ = _mip_composite_from_D(sigma, dists, sid, s)
     else:
         _, _, _, w, _, _ = _mip_composite_lane(sigma, t0, t1, d3, sid, s)
     rgb = jax.nn.sigmoid(rgb_logits)
-    mids = (t0 + t1) * 0.5
     vals = jnp.concatenate([w * rgb, w * mids, w], axis=0)  # [5, N]
 
     maps_ref[:] = jax.lax.dot_general(seg_ref[:], vals, (((0,), (1,)), ((), ())),
@@ -1519,6 +1790,7 @@ def fused_mip_render_planar(params: Dict[str, Any], odvr: jnp.ndarray,
     # VPU work and VMEM per point than the classic kernel) and prefers SMALL
     # blocks: target 1536 pts measured 343.8k vs 337.2k (2048) vs 274.7k
     # (the classic kernels' 4608) rays/s (tools/perf_mip_block.py, one v5e).
+    stream = _MIP_GAUSS_MODE == "stream"
     r_blk = (RAY_BLOCK if RAY_BLOCK is not None
              else max(8, (_MIP_TARGET_N // (8 * S)) * 8))
     (odvr,), z_vals, R, pad = _pad_rays([odvr], z_vals, r_blk)
@@ -1533,15 +1805,28 @@ def fused_mip_render_planar(params: Dict[str, Any], odvr: jnp.ndarray,
     onehot, seg = _bcast_masks(r_blk, S)
     full = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
                                     memory_space=pltpu.VMEM)
+    gauss_ops, gauss_specs = (), ()
+    if stream:
+        # Block-major 3D layout [n_blocks, 8, r_blk*S]: a 2D [8, N] operand
+        # with block (8, r_blk*S) violates the Pallas tiling rule when
+        # r_blk*S % 128 != 0 (block dims must be 8/128-divisible OR equal to
+        # the array dims — on-chip lowering error, round 5); with the block
+        # dims EQUAL to the trailing array dims any r_blk*S is legal.
+        g = _mip_gauss_planar_xla(odvr, z_vals, ray_shape)
+        g = g.reshape(8, n_blocks, r_blk * S).transpose(1, 0, 2)
+        gauss_ops = (g,)
+        gauss_specs = (pl.BlockSpec((1, 8, r_blk * S), lambda i: (i, 0, 0),
+                                    memory_space=pltpu.VMEM),)
     maps, weights = pl.pallas_call(
         functools.partial(
             _mip_render_kernel, depth=depth, skips=(4,),
             compute_dtype=compute_dtype, r_blk=r_blk, s=S,
-            ray_shape=ray_shape),
+            ray_shape=ray_shape, stream=stream),
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((r_blk, 10), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((r_blk, S + 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            *gauss_specs,
             full(onehot), full(seg),
             *[full(a) for a in pe_args],
             *[full(w) for w in ws],
@@ -1560,7 +1845,7 @@ def fused_mip_render_planar(params: Dict[str, Any], odvr: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(odvr, z_vals, onehot, seg, *pe_args, *ws, *bs_col)
+    )(odvr, z_vals, *gauss_ops, onehot, seg, *pe_args, *ws, *bs_col)
     if pad:
         maps, weights = maps[:R], weights[:R]
     return maps, weights

@@ -524,7 +524,7 @@ def main(args):
             correlation_w=args.correlation_w, Gcorrelation_w=args.Gcorrelation_w,
             contrast_w=args.contrast_w, use_dino=args.use_dino,
             use_correlation=args.use_correlation, use_geoCorr=args.use_geoCorr,
-            use_contrast=args.use_contrast,
+            use_contrast=args.use_contrast, fix_backbone=args.fix_backbone,
         )
         app_loss = CorrelationLoss.from_params(
             args.app_corr_params, use_sim_matrix=args.use_sim_matrix, rand_neg=args.rand_neg)

@@ -343,3 +343,58 @@ def test_composite_mode_rows_matches_lanes(nets, key):
                     jax.tree_util.tree_leaves(outs["rows"])):
         np.testing.assert_allclose(np.array(a), np.array(b),
                                    atol=1e-6, rtol=1e-6)
+
+
+def test_frozen_backbone_grads_match_full(nets, key):
+    """The frozen-backbone backward (semantic-head-only sweep,
+    _train_frozen_bwd_kernel) must produce BIT-identical sem-head grads to
+    the full backward, exact zeros for every frozen leaf, and identical
+    post-update params under the fix_backbone optimizer — with noise and
+    perturb ACTIVE (its composite weights come from the forward's output
+    residual, so the noise plumbing must line up)."""
+    from nerfsos_tpu.engines.state import TrainState, make_optimizer, semantic_head_mask
+
+    _, fused, params = nets
+    frozen_net = NeRFNet(dataclasses.replace(fused.cfg, frozen_backbone=True))
+    rays = _rays(key, 20)  # 20 % block != 0: exercises the bwd's pad masking
+    tgt = jax.random.uniform(jax.random.PRNGKey(9), (20, 3))
+    k = jax.random.PRNGKey(7)
+
+    def loss(net, p):
+        # SOS-shaped loss: rgb MSE (zero sem-head dependence) + both
+        # semantic heads (the correlation losses' inputs)
+        out = net(p, rays, (1.0, 4.0), key=k, train=False,
+                  raw_noise_std=0.7, perturb=1.0)
+        return (jnp.mean((out["rgb"] - tgt) ** 2)
+                + 0.3 * jnp.mean(out["semantics"] ** 2)
+                + 0.2 * jnp.mean(out["semantics0"] ** 2))
+
+    g_full = jax.grad(lambda p: loss(fused, p))(params)
+
+    head = semantic_head_mask(params)
+
+    def frozen_loss(p):
+        p2 = jax.tree_util.tree_map(
+            lambda x, m: x if m else jax.lax.stop_gradient(x), p, head)
+        return loss(frozen_net, p2)
+
+    g_frozen = jax.grad(frozen_loss)(params)
+
+    for (path, m), a, b in zip(
+            jax.tree_util.tree_flatten_with_path(head)[0],
+            jax.tree_util.tree_leaves(g_full),
+            jax.tree_util.tree_leaves(g_frozen)):
+        name = jax.tree_util.keystr(path)
+        if m:  # sem head: bit-identical to the full backward
+            np.testing.assert_array_equal(np.array(a), np.array(b),
+                                          err_msg=name)
+        else:  # frozen: exact zeros
+            assert np.all(np.array(b) == 0.0), name
+
+    # post-update params identical (multi_transform zeroes frozen updates)
+    tx = make_optimizer(1e-2, fix_backbone=True, params=params)
+    s_full = TrainState.create(params, tx).apply_gradients(g_full)
+    s_frozen = TrainState.create(params, tx).apply_gradients(g_frozen)
+    for a, b in zip(jax.tree_util.tree_leaves(s_full.params),
+                    jax.tree_util.tree_leaves(s_frozen.params)):
+        np.testing.assert_array_equal(np.array(a), np.array(b))
