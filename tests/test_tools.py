@@ -110,6 +110,11 @@ def test_baseline_gates_synthetic_dry_run(tmp_path):
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ, GATES_CPU="1")
     env["PYTHONPATH"] = env.get("PYTHONPATH", "") + ":" + root
+    # the suite's conftest exports an 8-virtual-device XLA_FLAGS; inherited
+    # by this subprocess it makes run_nerf build an 8-way mesh on ONE
+    # physical CPU and the batch-4096 pretrain crawls past the timeout
+    # (VERDICT r4 weak #2) — pin the gates run to 1 device.
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
     r = subprocess.run(
         [sys.executable, "tools/run_baseline_gates.py", "--synthetic",
          "--pretrain_steps", "25", "--sos_steps", "8",

@@ -74,7 +74,14 @@ def drive(data, basedir, *extra):
 
 
 def read_eval(basedir: str, exp: str) -> dict:
-    with open(os.path.join(basedir, exp, "eval", "log.json")) as f:
+    path = os.path.join(basedir, exp, "eval", "log.json")
+    if not os.path.exists(path):
+        # run_nerf.main returns (it does not raise) on e.g. the missing-run-
+        # dir --eval guard (run_nerf.py:335-337, reference parity) — surface
+        # that as a gate failure instead of a FileNotFoundError traceback.
+        raise SystemExit(f"[gates] run_nerf wrote no {path} — the run failed "
+                         "or exited early; see its output above")
+    with open(path) as f:
         return json.load(f)
 
 
@@ -142,6 +149,10 @@ def main():
             else ["--dino_synthetic"] if args.synthetic else [])
 
     # ---- gate 1: EVAL from the checkpoint --------------------------------
+    # --eval refuses a missing run dir (reference run_nerf.py:264-268; ours
+    # :335-337). gate_eval is a fresh expname whose weights come from
+    # --ckpt_path, so pre-create the dir — the guard is for typo'd resumes.
+    os.makedirs(os.path.join(args.out, "gate_eval"), exist_ok=True)
     drive(scene, args.out, "--expname", "gate_eval", *size, *ingest, *lpips,
           "--use_semantics", "--sem_with_coord", "--use_masks",
           "--ret_cluster", "--eval")
