@@ -68,6 +68,15 @@ def _sigma_flops(in_dim: int, width: int = 256, depth: int = 8) -> int:
     return 2 * (macs + width)
 
 
+def _frozen_bwd_flops(in_dim: int = 63, width: int = 256, depth: int = 8) -> int:
+    """Field FLOPs of the frozen-backbone backward kernel per point
+    (_train_frozen_bwd_kernel): trunk FORWARD recompute + sem-head forward +
+    the two dW dots + the one dx dot (~= 3x the sem head, which is tiny)."""
+    trunk = in_dim * width + (depth - 2) * width * width + (width + in_dim) * width
+    sem = (width + in_dim) * (width // 2) + (width // 2) * 2
+    return 2 * (trunk + 3 * sem)
+
+
 # flagship: PE in 63 (classic), IPE in 60 (mip); 64 coarse + 192 fine samples
 FLOPS_PER_RAY = {
     # eval render: sigma-only coarse + full fine
@@ -76,6 +85,10 @@ FLOPS_PER_RAY = {
     "render_full": 256 * _mlp_flops(63),
     # train fwd+bwd ~ 3x the forward matmul FLOPs (dW + dx per matmul)
     "train": 3 * 256 * _mlp_flops(63),
+    # SOS fix_backbone step FIELD work (round 5): full train forward +
+    # sem-head-only backward — the reference's requires_grad=False prunes the
+    # trunk reverse sweep and so do we (fused_render._train_frozen_bwd_kernel)
+    "sos": 256 * (_mlp_flops(63) + _frozen_bwd_flops(63)),
     # mip: 63 coarse + 190 fine gaussians, no semantic head, IPE in 60
     "mip_render": (63 + 190) * _mlp_flops(60, use_semantics=False),
     # mip train rides the custom-vjp fused kernel: fwd kernel (1x) + bwd
@@ -106,10 +119,17 @@ def _layer_dims(sigma_only: bool, in_dim: int = 63, use_semantics: bool = True):
 # The shape's intrinsic ceiling: the flagship dims (63/319/283-wide inputs,
 # 1/3/2-wide heads) tile-pad by x1.188 on the MXU (x1.134 sigma-only) — at
 # the parity-fixed architecture, useful MFU cannot exceed 1/1.188 = 0.842.
+def _frozen_bwd_layer_dims(in_dim: int = 63):
+    trunk = [(in_dim, 256)] + [(256, 256)] * 6 + [(256 + in_dim, 256)]
+    sem = [(256 + in_dim, 128), (128, 2)]
+    return trunk + 3 * sem
+
+
 PADDED_FLOPS_PER_RAY = {
     "render_eval": 64 * _padded(_layer_dims(True)) + 192 * _padded(_layer_dims(False)),
     "render_full": 256 * _padded(_layer_dims(False)),
     "train": 3 * 256 * _padded(_layer_dims(False)),
+    "sos": 256 * (_padded(_layer_dims(False)) + _padded(_frozen_bwd_layer_dims())),
     "mip_render": (63 + 190) * _padded(_layer_dims(False, 60, use_semantics=False)),
     "mip_train": 4 * (63 + 190) * _padded(_layer_dims(False, 60, use_semantics=False)),
 }
@@ -299,7 +319,11 @@ def bench_sos() -> float:
     params = net.init(jax.random.PRNGKey(0))
     ext = VitExtractor("dino_vits16", dtype=jnp.bfloat16)
     dino_params = ext.init(jax.random.PRNGKey(1))
-    sos_cfg = SOSConfig(batch_size=B, patch_size=P, patch_stride=stride)
+    # fix_backbone: the flagship finetune's semantics (train_flower_node0.sh)
+    # — the loss stop-gradients the frozen subtree and the fused VJP runs the
+    # semantic-head-only backward (no trunk reverse sweep).
+    sos_cfg = SOSConfig(batch_size=B, patch_size=P, patch_stride=stride,
+                        fix_backbone=True)
     app = CorrelationLoss.from_params([0.18, 1, 0.46, 1], use_sim_matrix=True)
     geo = GeoCorrelationLoss.from_params([0.5, 1, 3, 1], use_sim_matrix=True)
     state = TrainState.create(params, make_optimizer(5e-4, fix_backbone=True, params=params))
@@ -400,6 +424,10 @@ def main():
         "mip_train_mfu": mfu(mip_train_rps, "mip_train"),
         "render_eval_padded_util": padded_util(render_rps, "render_eval"),
         "train_padded_util": padded_util(train_rps, "train"),
+        # SOS: FIELD-kernel FLOPs (frozen-backbone composition) over the
+        # WHOLE step time — the gap to 1.0 is the DINO fwd + correlation
+        # tail + any field slack (breakdown: tools/perf_frozen_ab.py [PROF])
+        "sos_step_padded_util": padded_util(sos_rps, "sos"),
         "mip_render_padded_util": padded_util(mip_rps, "mip_render"),
         "mip_train_padded_util": padded_util(mip_train_rps, "mip_train"),
         # ceiling-normalized (rays/s per same-session measured TFLOP): the

@@ -150,6 +150,33 @@ def test_mip_planar_render_matches_xla(mip_net, key):
                                    err_msg=k)
 
 
+def test_mip_stream_gauss_matches_kernel(mip_net, key):
+    """_MIP_GAUSS_MODE="stream" (XLA-precomputed mean/cov/mids/D streamed as
+    one [8, N] operand — the VERDICT r4 #4 counter-hypothesis) must match the
+    in-kernel Gaussian build: same closed forms, same op order, f32 both
+    sides."""
+    import dataclasses
+
+    from nerfsos_tpu.ops.pallas import fused_render as fr
+
+    net, params = mip_net
+    pl_net = MipNeRFNet(dataclasses.replace(net.cfg, fused_field=True))
+    rays = jax.random.normal(key, (2, 33, 3))
+    outs = {}
+    assert fr._MIP_GAUSS_MODE == "kernel"
+    try:
+        for mode in ("kernel", "stream"):
+            fr._MIP_GAUSS_MODE = mode
+            outs[mode] = pl_net(params, rays, (1.0, 4.0), radii=0.001,
+                                key=jax.random.PRNGKey(2))
+    finally:
+        fr._MIP_GAUSS_MODE = "kernel"
+    for k in ("rgb", "acc", "depth", "rgb0", "weights"):
+        np.testing.assert_allclose(np.array(outs["kernel"][k]),
+                                   np.array(outs["stream"][k]),
+                                   atol=1e-6, rtol=1e-6, err_msg=k)
+
+
 def test_mip_planar_grads_match_xla(mip_net, key):
     import dataclasses
 
