@@ -685,9 +685,17 @@ _MIP_TARGET_N = 1536
 #   "kernel" — conical-frustum Gaussian (+ composite D, mids) built in-kernel
 #              on the VPU per point (_mip_gauss_lane), the round-3/4 design;
 #   "stream" — XLA precomputes the identical math (_mip_gauss_planar_xla) and
-#              streams it as one perfectly-tiled [8, N] f32 operand (mean3,
-#              cov3, mids, D): trades ~32 B/pt of HBM traffic for the VPU
-#              prologue the mip accounting blames (ROUND4_NOTES #4).
+#              streams it as one block-major [n_blocks, 8, N_blk] f32 operand
+#              (mean3, cov3, mids, D): trades ~32 B/pt of HBM traffic for the
+#              Gaussian-build VPU prologue. Measured on-chip 2026-08-20:
+#              bit-equal; at ITS block optimum (4608 — streaming lifts the
+#              VMEM-residency cap that forced the in-kernel build to 1536)
+#              lands exactly on kernel-mode's 43.1 ms floor. Zero delta.
+#   "ipe"    — XLA additionally precomputes the WHOLE integrated-PE embedding
+#              (the exact _ipe_in_kernel_pl math) and streams it at
+#              compute_dtype [n_blocks, 2FD, N_blk] + (mids, D) f32: removes
+#              every in-kernel transcendental (exp/sin), ~2 B/pt/row traffic
+#              — the last prologue counter-hypothesis.
 # A/B: tools/perf_mip_stream.py; parity: tests/test_mip.py.
 _MIP_GAUSS_MODE = "kernel"
 
@@ -1678,24 +1686,28 @@ def _mip_gauss_planar_xla(odvr: jnp.ndarray, z: jnp.ndarray,
 def _mip_render_kernel(
     odvr_ref, z_ref, *rest,
     depth: int, skips: Tuple[int, ...], compute_dtype, r_blk: int, s: int,
-    ray_shape: str, stream: bool = False,
+    ray_shape: str, stream: str = "none",
 ):
     """One ray block: odvr [R_blk, 10] (o, d, viewdirs, radii columns),
     z [R_blk, S+1] fenceposts -> maps [R_blk, 5] (w·sigmoid(rgb) x3, w·mids,
     acc) + weights [R_blk, S].
 
-    ``stream``: the Gaussian/composite geometry (mean3, cov3, mids, D)
-    arrives as a precomputed [8, N] f32 operand from XLA
-    (_mip_gauss_planar_xla) instead of being built on the VPU — the VERDICT
-    r4 #4 counter-hypothesis arm (HBM traffic for prologue time)."""
+    ``stream`` (the VERDICT r4 #4 counter-hypothesis arms — HBM traffic for
+    VPU prologue time): "gauss" — the Gaussian/composite geometry (mean3,
+    cov3, mids, D) arrives precomputed from XLA (_mip_gauss_planar_xla);
+    "ipe" — the WHOLE integrated-PE embedding arrives at compute_dtype plus
+    (mids, D) f32, removing every in-kernel transcendental."""
     from nerfsos_tpu.ops.pallas.fused_field import _ipe_in_kernel_pl
 
-    if stream:
+    if stream != "none":
         (gauss_ref, oh_ref, seg_ref, mt_pts_ref, ph_pts_ref,
          mt_dirs_ref, ph_dirs_ref, *refs) = rest
     else:
         (oh_ref, seg_ref, mt_pts_ref, ph_pts_ref,
          mt_dirs_ref, ph_dirs_ref, *refs) = rest
+    if stream == "ipe":
+        md_ref = refs[0]
+        refs = refs[1:]
     n_w = depth + 4
     w_refs = refs[:n_w]
     b_refs = refs[n_w:2 * n_w]
@@ -1706,11 +1718,15 @@ def _mip_render_kernel(
     _, sid = _seg_ids(n, s)
     oh = oh_ref[:]
     odvr_t = None
-    if stream:
-        g = gauss_ref[0]  # [8, N] from the (1, 8, N) block
-        mean, cov = g[0:3], g[3:6]
-        mids, dists = g[6:7], g[7:8]
+    if stream != "none":
         t0 = t1 = d3 = None
+        if stream == "gauss":
+            g = gauss_ref[0]  # [8, N] from the (1, 8, N) block
+            mean, cov = g[0:3], g[3:6]
+            mids, dists = g[6:7], g[7:8]
+        else:  # "ipe": embedding already built; only mids/D geometry needed
+            md = md_ref[0]
+            mids, dists = md[0:1], md[1:2]
         if _BCAST_MODE == "split":
             # only the viewdirs PE needs broadcasting now
             _, demb = _bcast_epilogue([odvr_ref[:, 6:9]], oh, cd,
@@ -1730,11 +1746,14 @@ def _mip_render_kernel(
         odr = _bcast_dot(jnp.concatenate([odvr_t[0:6], odvr_t[9:10]], axis=0),
                          oh)
         o3, d3, radii = odr[0:3], odr[3:6], odr[6:7]  # [*, N], exact
-    if not stream:
+    if stream == "none":
         t0, t1, mean, cov = _mip_gauss_lane(z_ref, o3, d3, radii, r_blk,
                                             ray_shape)
         mids = (t0 + t1) * 0.5
-    emb = _ipe_in_kernel_pl(mean, cov, mt_pts_ref[:]).astype(cd)
+    if stream == "ipe":
+        emb = gauss_ref[0].astype(cd)  # [2FD, N] streamed at compute dtype
+    else:
+        emb = _ipe_in_kernel_pl(mean, cov, mt_pts_ref[:]).astype(cd)
     it = iter(range(n_w))
     h = _mlp_trunk(emb, w_refs, b_refs, it, depth, skips, cd)
 
@@ -1758,7 +1777,7 @@ def _mip_render_kernel(
             z_ref[:, 1:].astype(jnp.float32), odvr_ref[:, 3:6], r_blk, s)
         wout_ref[:] = w_rows
         w = _rows_to_lanes(wout_ref, r_blk, s)
-    elif stream:
+    elif stream != "none":
         _, _, _, w, _, _ = _mip_composite_from_D(sigma, dists, sid, s)
     else:
         _, _, _, w, _, _ = _mip_composite_lane(sigma, t0, t1, d3, sid, s)
@@ -1790,7 +1809,7 @@ def fused_mip_render_planar(params: Dict[str, Any], odvr: jnp.ndarray,
     # VPU work and VMEM per point than the classic kernel) and prefers SMALL
     # blocks: target 1536 pts measured 343.8k vs 337.2k (2048) vs 274.7k
     # (the classic kernels' 4608) rays/s (tools/perf_mip_block.py, one v5e).
-    stream = _MIP_GAUSS_MODE == "stream"
+    stream = {"kernel": "none", "stream": "gauss", "ipe": "ipe"}[_MIP_GAUSS_MODE]
     r_blk = (RAY_BLOCK if RAY_BLOCK is not None
              else max(8, (_MIP_TARGET_N // (8 * S)) * 8))
     (odvr,), z_vals, R, pad = _pad_rays([odvr], z_vals, r_blk)
@@ -1806,17 +1825,26 @@ def fused_mip_render_planar(params: Dict[str, Any], odvr: jnp.ndarray,
     full = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
                                     memory_space=pltpu.VMEM)
     gauss_ops, gauss_specs = (), ()
-    if stream:
-        # Block-major 3D layout [n_blocks, 8, r_blk*S]: a 2D [8, N] operand
-        # with block (8, r_blk*S) violates the Pallas tiling rule when
+    md_ops, md_specs = (), ()
+    if stream != "none":
+        # Block-major 3D layout [n_blocks, C, r_blk*S]: a 2D [C, N] operand
+        # with block (C, r_blk*S) violates the Pallas tiling rule when
         # r_blk*S % 128 != 0 (block dims must be 8/128-divisible OR equal to
         # the array dims — on-chip lowering error, round 5); with the block
         # dims EQUAL to the trailing array dims any r_blk*S is legal.
+        blocked = lambda x: x.reshape(x.shape[0], n_blocks, r_blk * S
+                                      ).transpose(1, 0, 2)
+        spec3 = lambda c, _i=None: pl.BlockSpec(
+            (1, c, r_blk * S), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
         g = _mip_gauss_planar_xla(odvr, z_vals, ray_shape)
-        g = g.reshape(8, n_blocks, r_blk * S).transpose(1, 0, 2)
-        gauss_ops = (g,)
-        gauss_specs = (pl.BlockSpec((1, 8, r_blk * S), lambda i: (i, 0, 0),
-                                    memory_space=pltpu.VMEM),)
+        if stream == "gauss":
+            gauss_ops, gauss_specs = (blocked(g),), (spec3(8),)
+        else:  # "ipe": full embedding at compute dtype + (mids, D) f32
+            from nerfsos_tpu.ops.pallas.fused_field import _ipe_in_kernel_pl
+            emb = _ipe_in_kernel_pl(g[0:3], g[3:6],
+                                    pe_args[0]).astype(compute_dtype)
+            gauss_ops, gauss_specs = (blocked(emb),), (spec3(emb.shape[0]),)
+            md_ops, md_specs = (blocked(g[6:8]),), (spec3(2),)
     maps, weights = pl.pallas_call(
         functools.partial(
             _mip_render_kernel, depth=depth, skips=(4,),
@@ -1829,6 +1857,7 @@ def fused_mip_render_planar(params: Dict[str, Any], odvr: jnp.ndarray,
             *gauss_specs,
             full(onehot), full(seg),
             *[full(a) for a in pe_args],
+            *md_specs,
             *[full(w) for w in ws],
             *[full(b) for b in bs_col],
         ],
@@ -1845,7 +1874,7 @@ def fused_mip_render_planar(params: Dict[str, Any], odvr: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(odvr, z_vals, *gauss_ops, onehot, seg, *pe_args, *ws, *bs_col)
+    )(odvr, z_vals, *gauss_ops, onehot, seg, *pe_args, *md_ops, *ws, *bs_col)
     if pad:
         maps, weights = maps[:R], weights[:R]
     return maps, weights

@@ -165,16 +165,18 @@ def test_mip_stream_gauss_matches_kernel(mip_net, key):
     outs = {}
     assert fr._MIP_GAUSS_MODE == "kernel"
     try:
-        for mode in ("kernel", "stream"):
+        for mode in ("kernel", "stream", "ipe"):
             fr._MIP_GAUSS_MODE = mode
             outs[mode] = pl_net(params, rays, (1.0, 4.0), radii=0.001,
                                 key=jax.random.PRNGKey(2))
     finally:
         fr._MIP_GAUSS_MODE = "kernel"
-    for k in ("rgb", "acc", "depth", "rgb0", "weights"):
-        np.testing.assert_allclose(np.array(outs["kernel"][k]),
-                                   np.array(outs["stream"][k]),
-                                   atol=1e-6, rtol=1e-6, err_msg=k)
+    for mode in ("stream", "ipe"):
+        for k in ("rgb", "acc", "depth", "rgb0", "weights"):
+            np.testing.assert_allclose(np.array(outs["kernel"][k]),
+                                       np.array(outs[mode][k]),
+                                       atol=1e-6, rtol=1e-6,
+                                       err_msg=f"{mode}:{k}")
 
 
 def test_mip_planar_grads_match_xla(mip_net, key):

@@ -54,25 +54,28 @@ def main():
     def render(p, r):
         return net(p, r, (1.2, 14.72), 0.001, train=False)
 
+    MODES = ("kernel", "stream", "ipe")
     outs = {}
     times = {}
     try:
-        for mode in ("kernel", "stream"):
+        for mode in MODES:
             fr._MIP_GAUSS_MODE = mode
             f = jax.jit(lambda p, r: render(p, r)["rgb"])
             outs[mode] = np.array(jax.block_until_ready(f(params, rays)))
             times[mode] = [bench.time_fn(f, params, rays)]
-        d = np.abs(outs["kernel"] - outs["stream"])
-        RESULTS["parity_max"] = float(d.max())
-        RESULTS["parity_p50"] = float(np.percentile(d, 50))
-        log(f"[parity] rgb max|k-s| {d.max():.3e} p50 {np.percentile(d, 50):.3e}"
-            f" bitequal={bool((d == 0).all())}")
+        for mode in MODES[1:]:
+            d = np.abs(outs["kernel"] - outs[mode])
+            RESULTS[f"parity_max_{mode}"] = float(d.max())
+            RESULTS[f"parity_p50_{mode}"] = float(np.percentile(d, 50))
+            log(f"[parity] {mode}: rgb max|k-x| {d.max():.3e} "
+                f"p50 {np.percentile(d, 50):.3e} "
+                f"bitequal={bool((d == 0).all())}")
         # ABAB second round
-        for mode in ("kernel", "stream"):
+        for mode in MODES:
             fr._MIP_GAUSS_MODE = mode
             f = jax.jit(lambda p, r: render(p, r)["rgb"])
             times[mode].append(bench.time_fn(f, params, rays))
-        for mode in ("kernel", "stream"):
+        for mode in MODES:
             t = min(times[mode])
             RESULTS[f"{mode}_ms"] = t * 1e3
             RESULTS[f"{mode}_rps"] = N / t
@@ -83,28 +86,30 @@ def main():
         RESULTS["ab_error"] = traceback.format_exc(limit=2)
 
     # block sweep under streaming (VMEM residency changed; 1536 was measured
-    # for the in-kernel build)
-    try:
-        fr._MIP_GAUSS_MODE = "stream"
-        sweep = {}
-        for tgt in (1536, 2048, 3072, 4608):
-            fr._MIP_TARGET_N = tgt
-            try:
-                f = jax.jit(lambda p, r: render(p, r)["rgb"])
-                t = bench.time_fn(f, params, rays)
-                sweep[tgt] = t * 1e3
-                log(f"[sweep] stream target_n={tgt}: {t*1e3:.1f} ms "
-                    f"= {N/t:,.0f} rays/s")
-            except Exception as e:
-                sweep[tgt] = None
-                log(f"[sweep] stream target_n={tgt}: FAILED "
-                    f"({type(e).__name__}: {str(e)[:200]})")
-        RESULTS["stream_block_sweep_ms"] = sweep
-    except Exception:
-        log("[sweep] FAILED:\n" + traceback.format_exc())
-    finally:
-        fr._MIP_TARGET_N = 1536
-        fr._MIP_GAUSS_MODE = "kernel"
+    # for the in-kernel build — round-5 finding: "stream" at 4608 == kernel
+    # floor, so sweep the ipe arm the same way)
+    for mode in ("stream", "ipe"):
+        try:
+            fr._MIP_GAUSS_MODE = mode
+            sweep = {}
+            for tgt in (1536, 2048, 3072, 4608, 6144):
+                fr._MIP_TARGET_N = tgt
+                try:
+                    f = jax.jit(lambda p, r: render(p, r)["rgb"])
+                    t = bench.time_fn(f, params, rays)
+                    sweep[tgt] = t * 1e3
+                    log(f"[sweep] {mode} target_n={tgt}: {t*1e3:.1f} ms "
+                        f"= {N/t:,.0f} rays/s")
+                except Exception as e:
+                    sweep[tgt] = None
+                    log(f"[sweep] {mode} target_n={tgt}: FAILED "
+                        f"({type(e).__name__}: {str(e)[:200]})")
+            RESULTS[f"{mode}_block_sweep_ms"] = sweep
+        except Exception:
+            log(f"[sweep {mode}] FAILED:\n" + traceback.format_exc())
+        finally:
+            fr._MIP_TARGET_N = 1536
+            fr._MIP_GAUSS_MODE = "kernel"
 
     print(json.dumps(RESULTS, indent=1))
 
