@@ -70,11 +70,16 @@ def _sigma_flops(in_dim: int, width: int = 256, depth: int = 8) -> int:
 
 def _frozen_bwd_flops(in_dim: int = 63, width: int = 256, depth: int = 8) -> int:
     """Field FLOPs of the frozen-backbone backward kernel per point
-    (_train_frozen_bwd_kernel): trunk FORWARD recompute + sem-head forward +
-    the two dW dots + the one dx dot (~= 3x the sem head, which is tiny)."""
-    trunk = in_dim * width + (depth - 2) * width * width + (width + in_dim) * width
-    sem = (width + in_dim) * (width // 2) + (width // 2) * 2
-    return 2 * (trunk + 3 * sem)
+    (_train_frozen_bwd_kernel, _FROZEN_BWD_MODE="stream_h" default): the
+    trunk output h is STORED by the forward and streamed back (no recompute),
+    so the bwd is just sem-head forward + two dW dots + one dx dot (~3x the
+    sem head). The step trades those trunk FLOPs for ~width*2 B/pt of HBM
+    round-trip — sos_step_padded_util is accordingly a partially
+    bandwidth-bound number."""
+    del in_dim, depth  # trunk recompute eliminated by stream_h
+    sem_in = width + 63  # sem_with_coord concat
+    sem = sem_in * (width // 2) + (width // 2) * 2
+    return 2 * 3 * sem
 
 
 # flagship: PE in 63 (classic), IPE in 60 (mip); 64 coarse + 192 fine samples
@@ -120,9 +125,9 @@ def _layer_dims(sigma_only: bool, in_dim: int = 63, use_semantics: bool = True):
 # 1/3/2-wide heads) tile-pad by x1.188 on the MXU (x1.134 sigma-only) — at
 # the parity-fixed architecture, useful MFU cannot exceed 1/1.188 = 0.842.
 def _frozen_bwd_layer_dims(in_dim: int = 63):
-    trunk = [(in_dim, 256)] + [(256, 256)] * 6 + [(256 + in_dim, 256)]
+    # stream_h default: no trunk recompute — sem-head dots only
     sem = [(256 + in_dim, 128), (128, 2)]
-    return trunk + 3 * sem
+    return 3 * sem
 
 
 PADDED_FLOPS_PER_RAY = {

@@ -840,12 +840,21 @@ def _train_render_kernel(
     mt_pts_ref, ph_pts_ref, mt_dirs_ref, ph_dirs_ref, *refs,
     depth: int, skips: Tuple[int, ...], use_semantics: bool,
     sem_with_coord: bool, compute_dtype, r_blk: int, s: int, noise_std: float,
+    save_h: bool = False,
 ):
-    """Forward of the fused TRAIN render: _render_kernel + pre-relu noise."""
+    """Forward of the fused TRAIN render: _render_kernel + pre-relu noise.
+
+    ``save_h``: additionally store the trunk output h (compute dtype) for the
+    frozen-backbone backward's stream_h mode (_FROZEN_BWD_MODE) — the stored
+    value is exactly what that backward's recompute would produce."""
     n_w = depth + 4 + (2 if use_semantics else 0)
     w_refs = refs[:n_w]
     b_refs = refs[n_w:2 * n_w]
     maps_ref, wout_ref = refs[2 * n_w], refs[2 * n_w + 1]
+    n_out = 2
+    if save_h:
+        hout_ref = refs[2 * n_w + 2]
+        n_out = 3
     cd = compute_dtype
     n = r_blk * s
 
@@ -866,6 +875,8 @@ def _train_render_kernel(
     emb = _pe_in_kernel_pl(pts, mt_pts_ref[:], ph_pts_ref[:]).astype(cd)
     it = iter(range(n_w))
     h = _mlp_trunk(emb, w_refs, b_refs, it, depth, skips, cd)
+    if save_h:
+        hout_ref[0, :, :] = h
 
     k_alpha, k_feat, k_views, k_rgb = next(it), next(it), next(it), next(it)
     sigma = _mm_pl(h, w_refs[k_alpha][:], b_refs[k_alpha][:])
@@ -888,7 +899,7 @@ def _train_render_kernel(
     rgb_logits = _mm_pl(hv, w_refs[k_rgb][:], b_refs[k_rgb][:])
 
     if _COMPOSITE_MODE == "rows":
-        scr_ref = refs[2 * n_w + 2]
+        scr_ref = refs[2 * n_w + n_out]
         sig_rows = _lanes_to_rows_vmem(sigma, scr_ref, r_blk, s)
         _, _, _, w_rows, _, _, _ = _composite_rows(sig_rows, z_ref[:],
                                                    odv_ref[:, 3:6], r_blk, s)
@@ -1130,11 +1141,30 @@ def _train_render_bwd_kernel(
         dcur = wd(w_refs[i][:], dpre)
 
 
+# Frozen-backward activation source (A/B: tools/perf_frozen_stream.py):
+#   "recompute" — the bwd kernel recomputes the 8-layer trunk forward to get
+#                 the sem head's inputs (v1; no extra residual HBM);
+#   "stream_h"  — the FORWARD kernel additionally stores the trunk output h
+#                 (compute dtype, block-major [n_blocks, W, r_blk*S]) and the
+#                 bwd streams it: BIT-identical (the stored h IS the value the
+#                 recompute would produce — same kernel ops, same operands),
+#                 trading ~W*2 B/pt of HBM round-trip for the trunk matmuls
+#                 (~87% of the bwd's FLOPs at the flagship shape).
+# Measured on-chip 2026-08-20 (tools/perf_frozen_stream.py, same-session,
+# flagship SOS step): recompute 188.3 ms vs stream_h 140.1 ms (174.0k ->
+# 233.9k rays/s, +34%), post-update params bit-equal. Residual-HBM note:
+# stream_h holds ~(W*2 B/pt) of h between fwd and bwd (~4.2 GB at the
+# flagship 32768-ray batch) — at >~4x that batch on a 16 GB chip, flip back
+# to "recompute".
+_FROZEN_BWD_MODE = "stream_h"
+
+
 def _train_frozen_bwd_kernel(
     odv_ref, z_ref, dmaps_ref, win_ref, oh_ref,
     mt_pts_ref, ph_pts_ref, *refs,
     depth: int, skips: Tuple[int, ...],
     sem_with_coord: bool, compute_dtype, r_blk: int, s: int,
+    stream_h: bool = False,
 ):
     """Frozen-backbone backward: semantic-head dW/db ONLY.
 
@@ -1155,12 +1185,23 @@ def _train_frozen_bwd_kernel(
     two dW dots run on bit-identical operands in the same per-block grid
     order — the sem grads match the full kernel's bit-for-bit (asserted by
     tests/test_fused_render.py::test_frozen_backbone_grads_match_full).
+
+    ``stream_h``: the trunk output h arrives STORED from the forward kernel
+    (see _FROZEN_BWD_MODE) instead of being recomputed — refs then carry only
+    the sem_0/sem_1 weight pairs plus the h operand. Bit-identical: the
+    stored h IS the value the recompute produces.
     """
-    n_w = depth + 2  # trunk layers + sem_0 + sem_1
-    w_refs = refs[:n_w]
-    b_refs = refs[n_w:2 * n_w]
-    dw_refs = refs[2 * n_w:2 * n_w + 2]
-    db_refs = refs[2 * n_w + 2:2 * n_w + 4]
+    if stream_h:
+        h_ref = refs[0]
+        w_refs, b_refs = refs[1:3], refs[3:5]
+        dw_refs, db_refs = refs[5:7], refs[7:9]
+        k_s0, k_s1 = 0, 1
+    else:
+        n_w = depth + 2  # trunk layers + sem_0 + sem_1
+        w_refs = refs[:n_w]
+        b_refs = refs[n_w:2 * n_w]
+        dw_refs = refs[2 * n_w:2 * n_w + 2]
+        db_refs = refs[2 * n_w + 2:2 * n_w + 4]
     cd = compute_dtype
     n = r_blk * s
 
@@ -1181,14 +1222,19 @@ def _train_frozen_bwd_kernel(
     else:
         od6 = _bcast_dot(_transpose_small_pl(odv_ref[:])[0:6], oh)
         dvals = _bcast_dot(_transpose_small_pl(dmaps_ref[:]), oh)
-    z_flat = _rows_to_lanes(z_ref, r_blk, s).astype(jnp.float32)
-    pts = od6[0:3] + od6[3:6] * z_flat
-
-    emb = _pe_in_kernel_pl(pts, mt_pts_ref[:], ph_pts_ref[:]).astype(cd)
-    it = iter(range(n_w))
-    h = _mlp_trunk(emb, w_refs, b_refs, it, depth, skips, cd)
-
-    k_s0, k_s1 = next(it), next(it)
+    if stream_h:
+        h = h_ref[0, :, :].astype(cd)
+        if sem_with_coord:
+            z_flat = _rows_to_lanes(z_ref, r_blk, s).astype(jnp.float32)
+            pts = od6[0:3] + od6[3:6] * z_flat
+            emb = _pe_in_kernel_pl(pts, mt_pts_ref[:], ph_pts_ref[:]).astype(cd)
+    else:
+        z_flat = _rows_to_lanes(z_ref, r_blk, s).astype(jnp.float32)
+        pts = od6[0:3] + od6[3:6] * z_flat
+        emb = _pe_in_kernel_pl(pts, mt_pts_ref[:], ph_pts_ref[:]).astype(cd)
+        it = iter(range(n_w))
+        h = _mlp_trunk(emb, w_refs, b_refs, it, depth, skips, cd)
+        k_s0, k_s1 = next(it), next(it)
     sem_in = jnp.concatenate([h, emb], axis=0) if sem_with_coord else h
     s_act = jnp.maximum(_mm_pl(sem_in, w_refs[k_s0][:], b_refs[k_s0][:]),
                         0.0).astype(cd)
@@ -1215,7 +1261,8 @@ def _train_frozen_bwd_kernel(
 def _train_render_frozen_bwd_impl(ws, bs, odv, z_vals, weights, dmaps,
                                   depth, skips, multires, sem_with_coord,
                                   compute_dtype_name,
-                                  interpret: Optional[bool] = None):
+                                  interpret: Optional[bool] = None,
+                                  h_blocks: Optional[jnp.ndarray] = None):
     """pallas_call wrapper for the frozen-backbone backward.
 
     Streams only what the sem-head sweep needs: ray geometry + z (for the
@@ -1234,9 +1281,9 @@ def _train_render_frozen_bwd_impl(ws, bs, odv, z_vals, weights, dmaps,
         mask = (jnp.arange(z_vals.shape[0]) < R).astype(dmaps.dtype)
         dmaps = dmaps * mask[:, None]
     n_blocks = z_vals.shape[0] // r_blk
-    n_used = depth + 2
-    ws_u = ws[:depth] + ws[-2:]
-    bs_u = bs[:depth] + bs[-2:]
+    stream_h = h_blocks is not None
+    ws_u = ws[-2:] if stream_h else ws[:depth] + ws[-2:]
+    bs_u = bs[-2:] if stream_h else bs[:depth] + bs[-2:]
     ws_c = tuple(w.astype(compute_dtype) for w in ws_u)
     bs_col = tuple(b.astype(jnp.float32).reshape(-1, 1) for b in bs_u)
     mt_pts, ph_pts = _pe_consts_pl(multires)
@@ -1249,13 +1296,20 @@ def _train_render_frozen_bwd_impl(ws, bs, odv, z_vals, weights, dmaps,
     acc2d = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
                                        memory_space=pltpu.VMEM)
     n_maps = dmaps.shape[-1]
+    h_ops, h_specs = (), ()
+    if stream_h:
+        # block-major [n_blocks, W, r_blk*S] (same legality rule as the mip
+        # streams: block == trailing array dims)
+        h_ops = (h_blocks,)
+        h_specs = (pl.BlockSpec((1, h_blocks.shape[1], r_blk * S),
+                                lambda i: (i, 0, 0), memory_space=pltpu.VMEM),)
     sem_shapes = [ws_u[-2].shape, ws_u[-1].shape]
     sem_b = [bs_u[-2].shape[0], bs_u[-1].shape[0]]
     outs = pl.pallas_call(
         functools.partial(
             _train_frozen_bwd_kernel, depth=depth, skips=skips,
             sem_with_coord=sem_with_coord, compute_dtype=compute_dtype,
-            r_blk=r_blk, s=S),
+            r_blk=r_blk, s=S, stream_h=stream_h),
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((r_blk, 9), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -1263,6 +1317,7 @@ def _train_render_frozen_bwd_impl(ws, bs, odv, z_vals, weights, dmaps,
             pl.BlockSpec((r_blk, n_maps), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((r_blk, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
             full(onehot), full(mt_pts), full(ph_pts),
+            *h_specs,
             *[full(w) for w in ws_c],
             *[full(b) for b in bs_col],
         ],
@@ -1272,7 +1327,8 @@ def _train_render_frozen_bwd_impl(ws, bs, odv, z_vals, weights, dmaps,
                    + [jax.ShapeDtypeStruct((nb, 1), jnp.float32) for nb in sem_b]),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(odv, z_vals, dmaps, weights, onehot, mt_pts, ph_pts, *ws_c, *bs_col)
+    )(odv, z_vals, dmaps, weights, onehot, mt_pts, ph_pts, *h_ops, *ws_c,
+      *bs_col)
 
     n_w = len(ws)
     dws = [jnp.zeros_like(w) for w in ws]
@@ -1297,7 +1353,8 @@ def _train_render(ws, bs, odv, z_vals, seed, depth, skips, multires,
 def _train_render_fwd_impl(ws, bs, odv, z_vals, seed, depth, skips, multires,
                            multires_views, use_semantics, sem_with_coord,
                            compute_dtype_name, noise_std,
-                           interpret: Optional[bool] = None):
+                           interpret: Optional[bool] = None,
+                           save_h: bool = False):
     compute_dtype = jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
     S = z_vals.shape[-1]
     r_blk = _train_ray_block(S)
@@ -1313,12 +1370,23 @@ def _train_render_fwd_impl(ws, bs, odv, z_vals, seed, depth, skips, multires,
     onehot, seg = _bcast_masks(r_blk, S)
     full = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
                                     memory_space=pltpu.VMEM)
-    maps, weights = pl.pallas_call(
+    h_out_specs, h_out_shapes = [], []
+    if save_h:
+        # trunk output width — _mlp_trunk re-concats emb when the LAST layer
+        # index is a skip (e.g. tiny test nets with depth 5, skips=(4,))
+        width = ws[depth - 1].shape[-1] + (
+            (3 + 6 * multires) if (depth - 1) in skips else 0)
+        h_out_specs = [pl.BlockSpec((1, width, r_blk * S),
+                                    lambda i: (i, 0, 0),
+                                    memory_space=pltpu.VMEM)]
+        h_out_shapes = [jax.ShapeDtypeStruct((n_blocks, width, r_blk * S),
+                                             compute_dtype)]
+    outs = pl.pallas_call(
         functools.partial(
             _train_render_kernel, depth=depth, skips=skips,
             use_semantics=use_semantics, sem_with_coord=sem_with_coord,
             compute_dtype=compute_dtype, r_blk=r_blk, s=S,
-            noise_std=noise_std),
+            noise_std=noise_std, save_h=save_h),
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((r_blk, 9), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -1332,10 +1400,12 @@ def _train_render_fwd_impl(ws, bs, odv, z_vals, seed, depth, skips, multires,
         out_specs=[
             pl.BlockSpec((r_blk, n_maps), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((r_blk, S), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            *h_out_specs,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n_blocks * r_blk, n_maps), jnp.float32),
             jax.ShapeDtypeStruct((n_blocks * r_blk, S), jnp.float32),
+            *h_out_shapes,
         ],
         scratch_shapes=([pltpu.VMEM((r_blk, S), jnp.float32)]
                         if _COMPOSITE_MODE == "rows" else []),
@@ -1343,24 +1413,34 @@ def _train_render_fwd_impl(ws, bs, odv, z_vals, seed, depth, skips, multires,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(odv, z_vals, seed, onehot, seg, *pe_args, *ws_c, *bs_col)
+    maps, weights = outs[0], outs[1]
     if pad:
         maps, weights = maps[:R], weights[:R]
+    if save_h:
+        return maps, weights, outs[2]  # h stays padded/block-major (bwd form)
     return maps, weights
 
 
 def _train_render_fwd(ws, bs, odv, z_vals, seed, *static):
     frozen = static[-1]
-    out = _train_render_fwd_impl(ws, bs, odv, z_vals, seed, *static[:-1])
+    use_semantics = static[4]
+    save_h = bool(frozen) and use_semantics and _FROZEN_BWD_MODE == "stream_h"
+    outs = _train_render_fwd_impl(ws, bs, odv, z_vals, seed, *static[:-1],
+                                  save_h=save_h)
+    maps, weights = outs[0], outs[1]
     # frozen mode: the backward takes the composite weights from the forward
     # instead of recomputing sigma + noise + composite (bit-identical values;
-    # +25 MB of residual HBM at the flagship fine shape).
-    return out, (ws, bs, odv, z_vals, seed, out[1] if frozen else None)
+    # +25 MB of residual HBM at the flagship fine shape). stream_h mode
+    # additionally saves the trunk output h (see _FROZEN_BWD_MODE).
+    return (maps, weights), (ws, bs, odv, z_vals, seed,
+                             weights if frozen else None,
+                             outs[2] if save_h else None)
 
 
 def _train_render_bwd(depth, skips, multires, multires_views, use_semantics,
                       sem_with_coord, compute_dtype_name, noise_std, frozen,
                       residuals, cots, interpret: Optional[bool] = None):
-    ws, bs, odv, z_vals, seed, res_weights = residuals
+    ws, bs, odv, z_vals, seed, res_weights, res_h = residuals
     dmaps, dweights = cots
     if frozen:
         # Reference --fix_backbone parity: only the semantic head is
@@ -1375,7 +1455,7 @@ def _train_render_bwd(depth, skips, multires, multires_views, use_semantics,
         dws, dbs = _train_render_frozen_bwd_impl(
             ws, bs, odv, z_vals, res_weights, dmaps,
             depth, skips, multires, sem_with_coord, compute_dtype_name,
-            interpret=interpret)
+            interpret=interpret, h_blocks=res_h)
         return (dws, dbs, jnp.zeros_like(odv), jnp.zeros_like(z_vals),
                 jnp.zeros_like(seed))
     compute_dtype = jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32

@@ -345,15 +345,19 @@ def test_composite_mode_rows_matches_lanes(nets, key):
                                    atol=1e-6, rtol=1e-6)
 
 
-def test_frozen_backbone_grads_match_full(nets, key):
+@pytest.mark.parametrize("bwd_mode", ["recompute", "stream_h"])
+def test_frozen_backbone_grads_match_full(nets, key, bwd_mode, monkeypatch):
     """The frozen-backbone backward (semantic-head-only sweep,
     _train_frozen_bwd_kernel) must produce BIT-identical sem-head grads to
     the full backward, exact zeros for every frozen leaf, and identical
     post-update params under the fix_backbone optimizer — with noise and
     perturb ACTIVE (its composite weights come from the forward's output
-    residual, so the noise plumbing must line up)."""
+    residual, so the noise plumbing must line up). Both activation sources
+    (trunk recompute / forward-stored h) must match bit-for-bit."""
     from nerfsos_tpu.engines.state import TrainState, make_optimizer, semantic_head_mask
+    from nerfsos_tpu.ops.pallas import fused_render as fr
 
+    monkeypatch.setattr(fr, "_FROZEN_BWD_MODE", bwd_mode)
     _, fused, params = nets
     frozen_net = NeRFNet(dataclasses.replace(fused.cfg, frozen_backbone=True))
     rays = _rays(key, 20)  # 20 % block != 0: exercises the bwd's pad masking
