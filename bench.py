@@ -26,14 +26,17 @@ import jax.numpy as jnp
 
 A100_TORCH_RENDER_RAYS_PER_SEC = 50_000.0
 N_RAYS = 16384
-# Render measures a 262144-ray block — exactly one 512x512 image per call
-# (reachable via --ray_chunk 262144): the planar kernels removed the
-# 42.7x-padded buffers that used to OOM far smaller shapes, and the bigger
-# block amortizes the ~6 ms per-call tail (65536 -> 131072 -> 262144 rays
-# measured 409.0k -> 416.7k -> 420.5k rays/s in one session, 2026-08-18,
-# /tmp/eval_bigblock experiment; tools/perf_planar_sweep.py has the older
-# 341k -> 354k story at 16384 -> 65536).
-N_RAYS_RENDER = 262144
+# Render measures a 1048576-ray block — four 512x512 images per call
+# (reachable via --ray_chunk 1048576; the video path renders 120 frames, so
+# multi-frame dispatch is the production shape): the planar kernels removed
+# the 42.7x-padded buffers that used to OOM far smaller shapes, and the
+# bigger block amortizes the ~6 ms per-call tail (65536 -> 131072 -> 262144
+# rays measured 409.0k -> 416.7k -> 420.5k rays/s in one session, 2026-08-18,
+# /tmp/eval_bigblock; 262144 -> 524288 -> 1048576 measured 428.4k -> 431.1k
+# -> 432.5k same-session 2026-08-20, tools/perf_eval_block5.py — +0.95%,
+# converging; tools/perf_planar_sweep.py has the older 341k -> 354k story at
+# 16384 -> 65536).
+N_RAYS_RENDER = 1048576
 
 
 def log(*a):
