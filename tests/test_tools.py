@@ -1,4 +1,5 @@
 """Offline tooling tests (get_metrics, depth2points, misc, projector, pose viz)."""
+import json
 import os
 
 import jax.numpy as jnp
@@ -122,3 +123,47 @@ def test_baseline_gates_synthetic_dry_run(tmp_path):
         cwd=root, env=env, capture_output=True, text=True, timeout=1800)
     assert r.returncode == 0, (r.stdout[-2000:] + "\n" + r.stderr[-2000:])
     assert os.path.exists(tmp_path / "gates" / "gates.json")
+
+
+def test_export_nerf_notebook_contract(tmp_path, rng):
+    """tools/export_nerf.py reproduces the reference notebook's artifact set
+    (reference data/export_nerf.ipynb): rays/rgbs train+test, rays_exhibit,
+    near/far-only meta.json — no masks, no val split (gen_dataset's
+    production superset covers those)."""
+    from PIL import Image
+
+    from nerfsos_tpu.tools.export_nerf import export_nerf
+
+    scene = tmp_path / "llff_scene"
+    os.makedirs(scene / "images")
+    H, W, focal, n = 16, 24, 30.0, 6
+    pb = np.zeros((n, 17), np.float64)
+    # LLFF raw columns [down, right, back]; cameras at z≈4 with small jitter.
+    r_llff = np.array([[0.0, 1.0, 0.0], [-1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
+    for i in range(n):
+        m = np.zeros((3, 5))
+        m[:, :3] = r_llff
+        m[:, 3] = [0.2 * i - 0.5, 0.1 * i, 4.0]
+        m[:, 4] = [H, W, focal]
+        pb[i, :15] = m.reshape(-1)
+        pb[i, 15:] = [1.0, 5.0]
+        img = (rng.random((H, W, 3)) * 255).astype(np.uint8)
+        Image.fromarray(img).save(scene / "images" / f"im_{i:03d}.png")
+    np.save(scene / "poses_bounds.npy", pb)
+
+    out = tmp_path / "exported"
+    meta = export_nerf(str(scene), str(out), factor=1, llffhold=8)
+
+    rays_tr = np.load(out / "rays_train.npy")
+    assert rays_tr.shape == (5, H, W, 2, 3) and rays_tr.dtype == np.float32
+    assert np.load(out / "rgbs_train.npy").shape == (5, H, W, 3)
+    assert np.load(out / "rays_test.npy").shape == (1, H, W, 2, 3)
+    assert np.load(out / "rgbs_test.npy").shape == (1, H, W, 3)
+    ex = np.load(out / "rays_exhibit.npy")
+    assert ex.ndim == 5 and ex.shape[1:] == (H, W, 2, 3) and len(ex) > 0
+    on_disk = json.load(open(out / "meta.json"))
+    assert set(on_disk) == {"near", "far"} and on_disk == meta
+    # notebook constants: near = bds.min()*sc*0.9, far = bds.max()*sc, and
+    # the bound rescale sc = 1/(min_bd*0.75) puts min bd at 4/3.
+    assert np.isclose(on_disk["near"], (4.0 / 3.0) * 0.9)
+    assert not os.path.exists(out / "masks_train.npy")
