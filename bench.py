@@ -220,11 +220,19 @@ def bench_render(fused: bool, coarse_outputs: bool = False) -> float:
 
 def bench_mip_render() -> float:
     """mip-NeRF family eval render (shared coarse/fine MLP, IPE) through the
-    planar fused kernel — 2.06x the XLA field (tools/perf_mip_planar.py)."""
+    planar fused kernel — 2.06x the XLA field (tools/perf_mip_planar.py).
+
+    Measures N_RAYS_RENDER rays/call like the classic eval arm: the historic
+    16384 rays/call left the tunnel's ~4-6 ms dispatch tail ~10% of a 43 ms
+    call. Same-session sweep (tools/perf_mip_calls5*.py, 2026-08-20):
+    16384 -> 65536 -> 262144 = 339.6k -> 396.7k -> 410.0k rays/s (+20.7%),
+    then 262144 -> 524288 -> 1048576 = 410.5k -> 413.3k -> 414.8k
+    (converging, +1.1%) — the kernel itself is unchanged (block 1536); only
+    the per-call grid and tail amortization move."""
     from nerfsos_tpu.models.mip import MipNeRFNet
     from nerfsos_tpu.models.nerf import NeRFConfig
 
-    n = 16384
+    n = N_RAYS_RENDER
     cfg = NeRFConfig(
         n_samples=64, n_importance=128, multires=10, multires_views=4,
         ray_block=n, remat=False, compute_dtype="bfloat16", fused_field=True,
