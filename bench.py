@@ -363,40 +363,58 @@ def bench_sos() -> float:
     return N / dt
 
 
+def _retry(label, fn, tries=2, wait_s=30.0, default=0.0):
+    """Run a bench family, retrying once on failure. The axon tunnel throws
+    one-off transients (observed 2026-08-20: FAILED_PRECONDITION on the
+    first device op of a fresh process, clean on the identical retry,
+    ROUND5_NOTES "Per-call grid amortization") — without a retry, a single
+    hiccup zeroes a family in the round's recorded BENCH json."""
+    for i in range(tries):
+        try:
+            return fn()
+        except Exception:
+            log(f"{label} failed (attempt {i + 1}/{tries}):\n"
+                f"{traceback.format_exc(limit=2)}")
+            if i + 1 < tries:
+                time.sleep(wait_s)
+    return default
+
+
+def _warmup_device(tries=3, wait_s=30.0):
+    """Absorb startup transients before any family runs."""
+    for i in range(tries):
+        try:
+            float(jnp.sum(jnp.ones((8, 128), jnp.float32)))
+            return
+        except Exception:
+            log(f"device warmup failed (attempt {i + 1}/{tries}):\n"
+                f"{traceback.format_exc(limit=1)}")
+            if i + 1 < tries:
+                time.sleep(wait_s)
+
+
 def main():
     log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
-    render_rps = render_full_rps = 0.0
-    for fused in (True, False):
-        try:
-            render_rps = bench_render(fused)  # eval path (the headline)
-            render_full_rps = bench_render(fused, coarse_outputs=True)
-            break
-        except Exception:
-            log(f"render(fused={fused}) failed:\n{traceback.format_exc(limit=2)}")
-    train_rps = sos_rps = mip_rps = 0.0
-    try:
-        train_rps = bench_train()
-    except Exception:
-        log(f"train bench failed:\n{traceback.format_exc(limit=2)}")
-    try:
-        sos_rps = bench_sos()
-    except Exception:
-        log(f"sos bench failed:\n{traceback.format_exc(limit=2)}")
-    try:
-        mip_rps = bench_mip_render()
-    except Exception:
-        log(f"mip bench failed:\n{traceback.format_exc(limit=2)}")
-    mip_train_rps = 0.0
-    try:
-        mip_train_rps = bench_mip_train()
-    except Exception:
-        log(f"mip train bench failed:\n{traceback.format_exc(limit=2)}")
+    _warmup_device()
 
-    ceiling = 0.0
-    try:
-        ceiling = bench_matmul_ceiling()
-    except Exception:
-        log(f"ceiling bench failed:\n{traceback.format_exc(limit=2)}")
+    def _renders():
+        for fused in (True, False):
+            try:
+                a = bench_render(fused)  # eval path (the headline)
+                b = bench_render(fused, coarse_outputs=True)
+                return a, b
+            except Exception:
+                log(f"render(fused={fused}) failed:\n"
+                    f"{traceback.format_exc(limit=2)}")
+        raise RuntimeError("both render paths failed")
+
+    render_rps, render_full_rps = _retry("render", _renders,
+                                         default=(0.0, 0.0))
+    train_rps = _retry("train bench", bench_train)
+    sos_rps = _retry("sos bench", bench_sos)
+    mip_rps = _retry("mip bench", bench_mip_render)
+    mip_train_rps = _retry("mip train bench", bench_mip_train)
+    ceiling = _retry("ceiling bench", bench_matmul_ceiling)
 
     def mfu(rps, mode):
         """Useful model FLOPs per second / measured matmul ceiling."""
