@@ -73,13 +73,13 @@ def _sigma_flops(in_dim: int, width: int = 256, depth: int = 8) -> int:
 
 def _frozen_bwd_flops(in_dim: int = 63, width: int = 256, depth: int = 8) -> int:
     """Field FLOPs of the frozen-backbone backward kernel per point
-    (_train_frozen_bwd_kernel, _FROZEN_BWD_MODE="stream_h" default): the
-    trunk output h is STORED by the forward and streamed back (no recompute),
-    so the bwd is just sem-head forward + two dW dots + one dx dot (~3x the
-    sem head). The step trades those trunk FLOPs for ~width*2 B/pt of HBM
-    round-trip — sos_step_padded_util is accordingly a partially
-    bandwidth-bound number."""
-    del in_dim, depth  # trunk recompute eliminated by stream_h
+    (_train_frozen_bwd_kernel, _FROZEN_BWD_MODE="stream_semin" default): the
+    sem-head input is STORED by the forward and streamed back (no recompute,
+    no in-kernel PE), so the bwd is just sem-head forward + two dW dots + one
+    dx dot (~3x the sem head). The step trades those trunk FLOPs for
+    ~sem_in*2 B/pt of HBM round-trip — sos_step_padded_util is accordingly a
+    partially bandwidth-bound number."""
+    del in_dim, depth  # trunk recompute eliminated by the stream modes
     sem_in = width + 63  # sem_with_coord concat
     sem = sem_in * (width // 2) + (width // 2) * 2
     return 2 * 3 * sem
@@ -128,7 +128,7 @@ def _layer_dims(sigma_only: bool, in_dim: int = 63, use_semantics: bool = True):
 # 1/3/2-wide heads) tile-pad by x1.188 on the MXU (x1.134 sigma-only) — at
 # the parity-fixed architecture, useful MFU cannot exceed 1/1.188 = 0.842.
 def _frozen_bwd_layer_dims(in_dim: int = 63):
-    # stream_h default: no trunk recompute — sem-head dots only
+    # stream modes (stream_semin default): no trunk recompute — sem-head dots only
     sem = [(256 + in_dim, 128), (128, 2)]
     return 3 * sem
 

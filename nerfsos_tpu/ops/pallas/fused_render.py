@@ -840,19 +840,21 @@ def _train_render_kernel(
     mt_pts_ref, ph_pts_ref, mt_dirs_ref, ph_dirs_ref, *refs,
     depth: int, skips: Tuple[int, ...], use_semantics: bool,
     sem_with_coord: bool, compute_dtype, r_blk: int, s: int, noise_std: float,
-    save_h: bool = False,
+    save_h: bool = False, save_semin: bool = False,
 ):
     """Forward of the fused TRAIN render: _render_kernel + pre-relu noise.
 
     ``save_h``: additionally store the trunk output h (compute dtype) for the
     frozen-backbone backward's stream_h mode (_FROZEN_BWD_MODE) — the stored
-    value is exactly what that backward's recompute would produce."""
+    value is exactly what that backward's recompute would produce.
+    ``save_semin``: store the full sem-head input sem_in = [h; emb] instead
+    (stream_semin mode) — the backward then streams its operand directly."""
     n_w = depth + 4 + (2 if use_semantics else 0)
     w_refs = refs[:n_w]
     b_refs = refs[n_w:2 * n_w]
     maps_ref, wout_ref = refs[2 * n_w], refs[2 * n_w + 1]
     n_out = 2
-    if save_h:
+    if save_h or save_semin:
         hout_ref = refs[2 * n_w + 2]
         n_out = 3
     cd = compute_dtype
@@ -887,6 +889,8 @@ def _train_render_kernel(
     if use_semantics:
         k_s0, k_s1 = next(it), next(it)
         sem_in = jnp.concatenate([h, emb], axis=0) if sem_with_coord else h
+        if save_semin:
+            hout_ref[0, :, :] = sem_in
         sl = jnp.maximum(_mm_pl(sem_in, w_refs[k_s0][:], b_refs[k_s0][:]), 0.0).astype(cd)
         sem = _mm_pl(sl, w_refs[k_s1][:], b_refs[k_s1][:])
 
@@ -1141,7 +1145,8 @@ def _train_render_bwd_kernel(
         dcur = wd(w_refs[i][:], dpre)
 
 
-# Frozen-backward activation source (A/B: tools/perf_frozen_stream.py):
+# Frozen-backward activation source (A/B: tools/perf_frozen_stream.py,
+# tools/perf_frozen_semin.py):
 #   "recompute" — the bwd kernel recomputes the 8-layer trunk forward to get
 #                 the sem head's inputs (v1; no extra residual HBM);
 #   "stream_h"  — the FORWARD kernel additionally stores the trunk output h
@@ -1149,14 +1154,40 @@ def _train_render_bwd_kernel(
 #                 bwd streams it: BIT-identical (the stored h IS the value the
 #                 recompute would produce — same kernel ops, same operands),
 #                 trading ~W*2 B/pt of HBM round-trip for the trunk matmuls
-#                 (~87% of the bwd's FLOPs at the flagship shape).
-# Measured on-chip 2026-08-20 (tools/perf_frozen_stream.py, same-session,
-# flagship SOS step): recompute 188.3 ms vs stream_h 140.1 ms (174.0k ->
-# 233.9k rays/s, +34%), post-update params bit-equal. Residual-HBM note:
-# stream_h holds ~(W*2 B/pt) of h between fwd and bwd (~4.2 GB at the
-# flagship 32768-ray batch) — at >~4x that batch on a 16 GB chip, flip back
-# to "recompute".
-_FROZEN_BWD_MODE = "stream_h"
+#                 (~87% of the bwd's FLOPs at the flagship shape);
+#   "stream_semin" — store the WHOLE sem-head input sem_in = [h; emb]
+#                 ([W+2F+3 rows at sem_with_coord]): the bwd then needs no
+#                 ray geometry at all — the od6 broadcast epilogue, the z
+#                 relayout, and the in-kernel points PE (63 trig rows/pt, the
+#                 "PE/dmaps prologue" in the v2 trace) all drop out, for
+#                 +emb_rows*2 B/pt of stream (~0.8 GB at the flagship fine
+#                 shape). Bit-identical: the stored rows ARE the values the
+#                 stream_h bwd reassembles.
+# Measured on-chip 2026-08-20 (tools/perf_frozen_stream.py /
+# perf_frozen_semin.py, same-session, flagship SOS step): recompute 188.3 ms
+# vs stream_h 140.1 ms (+34%); stream_h 142.1 ms vs stream_semin 130.0 ms
+# (230.6k -> 252.0k rays/s, +9.3%) — post-update params bit-equal across all
+# three. Residual-HBM note: the stream modes hold ~(width*2 B/pt) between
+# fwd and bwd (~5.2 GB for sem_in at the flagship 32768-ray batch); batches
+# that would exceed _FROZEN_STREAM_MAX_BYTES fall back to "recompute"
+# automatically at trace time (_frozen_stream_mode).
+_FROZEN_BWD_MODE = "stream_semin"
+
+# Stream-mode residual budget: the stored h / sem_in costs ~width*2 B/pt of
+# HBM held between fwd and bwd (~4-5 GB at the flagship 32768-ray batch).
+# Shapes are static at trace time, so the forward falls back to "recompute"
+# automatically when a batch would push the residual past this cap (16 GB
+# chip; leave headroom for params/optimizer/activations of the rest of the
+# step). The fallback is bit-equal — all three modes produce identical grads.
+_FROZEN_STREAM_MAX_BYTES = 8 * 1024 ** 3
+
+
+def _frozen_stream_mode(n_pts: int, width: int, itemsize: int) -> str:
+    """Resolve _FROZEN_BWD_MODE for a concrete (static) shape."""
+    mode = _FROZEN_BWD_MODE
+    if mode != "recompute" and n_pts * width * itemsize > _FROZEN_STREAM_MAX_BYTES:
+        return "recompute"
+    return mode
 
 
 def _train_frozen_bwd_kernel(
@@ -1164,7 +1195,7 @@ def _train_frozen_bwd_kernel(
     mt_pts_ref, ph_pts_ref, *refs,
     depth: int, skips: Tuple[int, ...],
     sem_with_coord: bool, compute_dtype, r_blk: int, s: int,
-    stream_h: bool = False,
+    stream_h: bool = False, semin: bool = False,
 ):
     """Frozen-backbone backward: semantic-head dW/db ONLY.
 
@@ -1190,6 +1221,11 @@ def _train_frozen_bwd_kernel(
     (see _FROZEN_BWD_MODE) instead of being recomputed — refs then carry only
     the sem_0/sem_1 weight pairs plus the h operand. Bit-identical: the
     stored h IS the value the recompute produces.
+    ``semin`` (implies stream_h): the stored operand is the FULL sem-head
+    input sem_in = [h; emb] — no ray geometry enters the kernel at all (the
+    od6 broadcast, the z relayout, and the points PE drop out; only the
+    sem-map cotangent broadcast remains of the prologue). Bit-identical: the
+    stored rows ARE the values the stream_h path reassembles.
     """
     if stream_h:
         h_ref = refs[0]
@@ -1216,26 +1252,35 @@ def _train_frozen_bwd_kernel(
                                    preferred_element_type=jnp.float32)
 
     oh = oh_ref[:]
-    if _BCAST_MODE == "split":
-        (od9, dvals), _ = _bcast_epilogue([odv_ref[:], dmaps_ref[:]], oh, cd)
-        od6 = od9[0:6]
+    if semin:
+        # the forward stored sem_in whole: only the sem-map cotangent
+        # broadcast remains of the prologue.
+        if _BCAST_MODE == "split":
+            (dvals,), _ = _bcast_epilogue([dmaps_ref[:]], oh, cd)
+        else:
+            dvals = _bcast_dot(_transpose_small_pl(dmaps_ref[:]), oh)
+        sem_in = h_ref[0, :, :].astype(cd)
     else:
-        od6 = _bcast_dot(_transpose_small_pl(odv_ref[:])[0:6], oh)
-        dvals = _bcast_dot(_transpose_small_pl(dmaps_ref[:]), oh)
-    if stream_h:
-        h = h_ref[0, :, :].astype(cd)
-        if sem_with_coord:
+        if _BCAST_MODE == "split":
+            (od9, dvals), _ = _bcast_epilogue([odv_ref[:], dmaps_ref[:]], oh, cd)
+            od6 = od9[0:6]
+        else:
+            od6 = _bcast_dot(_transpose_small_pl(odv_ref[:])[0:6], oh)
+            dvals = _bcast_dot(_transpose_small_pl(dmaps_ref[:]), oh)
+        if stream_h:
+            h = h_ref[0, :, :].astype(cd)
+            if sem_with_coord:
+                z_flat = _rows_to_lanes(z_ref, r_blk, s).astype(jnp.float32)
+                pts = od6[0:3] + od6[3:6] * z_flat
+                emb = _pe_in_kernel_pl(pts, mt_pts_ref[:], ph_pts_ref[:]).astype(cd)
+        else:
             z_flat = _rows_to_lanes(z_ref, r_blk, s).astype(jnp.float32)
             pts = od6[0:3] + od6[3:6] * z_flat
             emb = _pe_in_kernel_pl(pts, mt_pts_ref[:], ph_pts_ref[:]).astype(cd)
-    else:
-        z_flat = _rows_to_lanes(z_ref, r_blk, s).astype(jnp.float32)
-        pts = od6[0:3] + od6[3:6] * z_flat
-        emb = _pe_in_kernel_pl(pts, mt_pts_ref[:], ph_pts_ref[:]).astype(cd)
-        it = iter(range(n_w))
-        h = _mlp_trunk(emb, w_refs, b_refs, it, depth, skips, cd)
-        k_s0, k_s1 = next(it), next(it)
-    sem_in = jnp.concatenate([h, emb], axis=0) if sem_with_coord else h
+            it = iter(range(n_w))
+            h = _mlp_trunk(emb, w_refs, b_refs, it, depth, skips, cd)
+            k_s0, k_s1 = next(it), next(it)
+        sem_in = jnp.concatenate([h, emb], axis=0) if sem_with_coord else h
     s_act = jnp.maximum(_mm_pl(sem_in, w_refs[k_s0][:], b_refs[k_s0][:]),
                         0.0).astype(cd)
 
@@ -1262,7 +1307,8 @@ def _train_render_frozen_bwd_impl(ws, bs, odv, z_vals, weights, dmaps,
                                   depth, skips, multires, sem_with_coord,
                                   compute_dtype_name,
                                   interpret: Optional[bool] = None,
-                                  h_blocks: Optional[jnp.ndarray] = None):
+                                  h_blocks: Optional[jnp.ndarray] = None,
+                                  semin: bool = False):
     """pallas_call wrapper for the frozen-backbone backward.
 
     Streams only what the sem-head sweep needs: ray geometry + z (for the
@@ -1309,7 +1355,7 @@ def _train_render_frozen_bwd_impl(ws, bs, odv, z_vals, weights, dmaps,
         functools.partial(
             _train_frozen_bwd_kernel, depth=depth, skips=skips,
             sem_with_coord=sem_with_coord, compute_dtype=compute_dtype,
-            r_blk=r_blk, s=S, stream_h=stream_h),
+            r_blk=r_blk, s=S, stream_h=stream_h, semin=semin and stream_h),
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((r_blk, 9), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -1354,7 +1400,7 @@ def _train_render_fwd_impl(ws, bs, odv, z_vals, seed, depth, skips, multires,
                            multires_views, use_semantics, sem_with_coord,
                            compute_dtype_name, noise_std,
                            interpret: Optional[bool] = None,
-                           save_h: bool = False):
+                           save_h: bool = False, save_semin: bool = False):
     compute_dtype = jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
     S = z_vals.shape[-1]
     r_blk = _train_ray_block(S)
@@ -1371,11 +1417,13 @@ def _train_render_fwd_impl(ws, bs, odv, z_vals, seed, depth, skips, multires,
     full = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
                                     memory_space=pltpu.VMEM)
     h_out_specs, h_out_shapes = [], []
-    if save_h:
+    if save_h or save_semin:
         # trunk output width — _mlp_trunk re-concats emb when the LAST layer
         # index is a skip (e.g. tiny test nets with depth 5, skips=(4,))
         width = ws[depth - 1].shape[-1] + (
             (3 + 6 * multires) if (depth - 1) in skips else 0)
+        if save_semin and sem_with_coord:
+            width += 3 + 6 * multires  # sem_in = [h; emb]
         h_out_specs = [pl.BlockSpec((1, width, r_blk * S),
                                     lambda i: (i, 0, 0),
                                     memory_space=pltpu.VMEM)]
@@ -1386,7 +1434,7 @@ def _train_render_fwd_impl(ws, bs, odv, z_vals, seed, depth, skips, multires,
             _train_render_kernel, depth=depth, skips=skips,
             use_semantics=use_semantics, sem_with_coord=sem_with_coord,
             compute_dtype=compute_dtype, r_blk=r_blk, s=S,
-            noise_std=noise_std, save_h=save_h),
+            noise_std=noise_std, save_h=save_h, save_semin=save_semin),
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((r_blk, 9), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -1416,25 +1464,36 @@ def _train_render_fwd_impl(ws, bs, odv, z_vals, seed, depth, skips, multires,
     maps, weights = outs[0], outs[1]
     if pad:
         maps, weights = maps[:R], weights[:R]
-    if save_h:
+    if save_h or save_semin:
         return maps, weights, outs[2]  # h stays padded/block-major (bwd form)
     return maps, weights
 
 
 def _train_render_fwd(ws, bs, odv, z_vals, seed, *static):
     frozen = static[-1]
-    use_semantics = static[4]
-    save_h = bool(frozen) and use_semantics and _FROZEN_BWD_MODE == "stream_h"
+    depth, skips, multires = static[0], static[1], static[2]
+    use_semantics, sem_with_coord = static[4], static[5]
+    mode = None
+    if bool(frozen) and use_semantics:
+        width = ws[depth - 1].shape[-1] + (
+            (3 + 6 * multires) if (depth - 1) in skips else 0)
+        if _FROZEN_BWD_MODE == "stream_semin" and sem_with_coord:
+            width += 3 + 6 * multires
+        itemsize = 2 if static[6] == "bfloat16" else 4
+        mode = _frozen_stream_mode(z_vals.shape[0] * z_vals.shape[-1],
+                                   width, itemsize)
+    save_h, save_semin = mode == "stream_h", mode == "stream_semin"
     outs = _train_render_fwd_impl(ws, bs, odv, z_vals, seed, *static[:-1],
-                                  save_h=save_h)
+                                  save_h=save_h, save_semin=save_semin)
     maps, weights = outs[0], outs[1]
     # frozen mode: the backward takes the composite weights from the forward
     # instead of recomputing sigma + noise + composite (bit-identical values;
-    # +25 MB of residual HBM at the flagship fine shape). stream_h mode
-    # additionally saves the trunk output h (see _FROZEN_BWD_MODE).
+    # +25 MB of residual HBM at the flagship fine shape). stream_h /
+    # stream_semin additionally save the trunk output h / the full sem-head
+    # input (see _FROZEN_BWD_MODE).
     return (maps, weights), (ws, bs, odv, z_vals, seed,
                              weights if frozen else None,
-                             outs[2] if save_h else None)
+                             outs[2] if (save_h or save_semin) else None)
 
 
 def _train_render_bwd(depth, skips, multires, multires_views, use_semantics,
@@ -1455,7 +1514,8 @@ def _train_render_bwd(depth, skips, multires, multires_views, use_semantics,
         dws, dbs = _train_render_frozen_bwd_impl(
             ws, bs, odv, z_vals, res_weights, dmaps,
             depth, skips, multires, sem_with_coord, compute_dtype_name,
-            interpret=interpret, h_blocks=res_h)
+            interpret=interpret, h_blocks=res_h,
+            semin=_FROZEN_BWD_MODE == "stream_semin")
         return (dws, dbs, jnp.zeros_like(odv), jnp.zeros_like(z_vals),
                 jnp.zeros_like(seed))
     compute_dtype = jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32

@@ -345,7 +345,9 @@ def test_composite_mode_rows_matches_lanes(nets, key):
                                    atol=1e-6, rtol=1e-6)
 
 
-@pytest.mark.parametrize("bwd_mode", ["recompute", "stream_h"])
+@pytest.mark.parametrize("bwd_mode",
+                         ["recompute", "stream_h", "stream_semin",
+                          "stream_semin_budget0"])
 def test_frozen_backbone_grads_match_full(nets, key, bwd_mode, monkeypatch):
     """The frozen-backbone backward (semantic-head-only sweep,
     _train_frozen_bwd_kernel) must produce BIT-identical sem-head grads to
@@ -357,7 +359,13 @@ def test_frozen_backbone_grads_match_full(nets, key, bwd_mode, monkeypatch):
     from nerfsos_tpu.engines.state import TrainState, make_optimizer, semantic_head_mask
     from nerfsos_tpu.ops.pallas import fused_render as fr
 
-    monkeypatch.setattr(fr, "_FROZEN_BWD_MODE", bwd_mode)
+    if bwd_mode == "stream_semin_budget0":
+        # the residual-HBM budget forces the trace-time fallback to
+        # "recompute" (_frozen_stream_mode) — still bit-identical
+        monkeypatch.setattr(fr, "_FROZEN_BWD_MODE", "stream_semin")
+        monkeypatch.setattr(fr, "_FROZEN_STREAM_MAX_BYTES", 0)
+    else:
+        monkeypatch.setattr(fr, "_FROZEN_BWD_MODE", bwd_mode)
     _, fused, params = nets
     frozen_net = NeRFNet(dataclasses.replace(fused.cfg, frozen_backbone=True))
     rays = _rays(key, 20)  # 20 % block != 0: exercises the bwd's pad masking
