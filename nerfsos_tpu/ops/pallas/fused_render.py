@@ -700,9 +700,23 @@ _MIP_TARGET_N = 1536
 _MIP_GAUSS_MODE = "kernel"
 
 
-def _train_ray_block(s: int) -> int:
+# Frozen (--fix_backbone) steps use a larger ray block than the full train
+# path: the round-3 1024-pt target was swept against the FULL backward (every
+# layer's dW accumulator VMEM-resident); the frozen composition (fwd stores
+# the sem_in residual, bwd holds two weight pairs) measures best at 16 rays
+# on BOTH passes — flagship SOS step 128.0 -> 125.3 ms (+2.2%), rb32 slower
+# (tools/perf_frozen_blk.py, 2026-08-20 same-session). Note the in-kernel
+# noise seeds per (block, lane): a different block partition draws different
+# (still iid) noise — same documented class as the sharded fold_in(shard)
+# draws; the grads-vs-full-backward bit-equality test pins a common block.
+_FROZEN_RAY_BLOCK = 16
+
+
+def _train_ray_block(s: int, frozen: bool = False) -> int:
     if TRAIN_RAY_BLOCK is not None:
         return TRAIN_RAY_BLOCK
+    if frozen:
+        return _FROZEN_RAY_BLOCK
     return max(8, (_TRAIN_TARGET_N // (8 * s)) * 8)
 
 
@@ -1319,7 +1333,7 @@ def _train_render_frozen_bwd_impl(ws, bs, odv, z_vals, weights, dmaps,
     """
     compute_dtype = jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
     S = z_vals.shape[-1]
-    r_blk = _train_ray_block(S)
+    r_blk = _train_ray_block(S, frozen=True)
     (odv, dmaps, weights), z_vals, R, pad = _pad_rays(
         [odv, dmaps, weights], z_vals, r_blk)
     if pad:
@@ -1393,17 +1407,19 @@ def _train_render(ws, bs, odv, z_vals, seed, depth, skips, multires,
                   compute_dtype_name, noise_std, frozen=False):
     return _train_render_fwd_impl(ws, bs, odv, z_vals, seed, depth, skips,
                                   multires, multires_views, use_semantics,
-                                  sem_with_coord, compute_dtype_name, noise_std)
+                                  sem_with_coord, compute_dtype_name, noise_std,
+                                  frozen_blk=bool(frozen) and use_semantics)
 
 
 def _train_render_fwd_impl(ws, bs, odv, z_vals, seed, depth, skips, multires,
                            multires_views, use_semantics, sem_with_coord,
                            compute_dtype_name, noise_std,
                            interpret: Optional[bool] = None,
-                           save_h: bool = False, save_semin: bool = False):
+                           save_h: bool = False, save_semin: bool = False,
+                           frozen_blk: bool = False):
     compute_dtype = jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
     S = z_vals.shape[-1]
-    r_blk = _train_ray_block(S)
+    r_blk = _train_ray_block(S, frozen_blk)
     (odv,), z_vals, R, pad = _pad_rays([odv], z_vals, r_blk)
     n_blocks = z_vals.shape[0] // r_blk
     ws_c = tuple(w.astype(compute_dtype) for w in ws)
@@ -1484,7 +1500,8 @@ def _train_render_fwd(ws, bs, odv, z_vals, seed, *static):
                                    width, itemsize)
     save_h, save_semin = mode == "stream_h", mode == "stream_semin"
     outs = _train_render_fwd_impl(ws, bs, odv, z_vals, seed, *static[:-1],
-                                  save_h=save_h, save_semin=save_semin)
+                                  save_h=save_h, save_semin=save_semin,
+                                  frozen_blk=bool(frozen) and use_semantics)
     maps, weights = outs[0], outs[1]
     # frozen mode: the backward takes the composite weights from the forward
     # instead of recomputing sigma + noise + composite (bit-identical values;

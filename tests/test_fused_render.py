@@ -347,7 +347,7 @@ def test_composite_mode_rows_matches_lanes(nets, key):
 
 @pytest.mark.parametrize("bwd_mode",
                          ["recompute", "stream_h", "stream_semin",
-                          "stream_semin_budget0"])
+                          "stream_semin_budget0", "default_blocks"])
 def test_frozen_backbone_grads_match_full(nets, key, bwd_mode, monkeypatch):
     """The frozen-backbone backward (semantic-head-only sweep,
     _train_frozen_bwd_kernel) must produce BIT-identical sem-head grads to
@@ -359,13 +359,27 @@ def test_frozen_backbone_grads_match_full(nets, key, bwd_mode, monkeypatch):
     from nerfsos_tpu.engines.state import TrainState, make_optimizer, semantic_head_mask
     from nerfsos_tpu.ops.pallas import fused_render as fr
 
+    exact = True
+    noise_std = 0.7
     if bwd_mode == "stream_semin_budget0":
         # the residual-HBM budget forces the trace-time fallback to
         # "recompute" (_frozen_stream_mode) — still bit-identical
         monkeypatch.setattr(fr, "_FROZEN_BWD_MODE", "stream_semin")
         monkeypatch.setattr(fr, "_FROZEN_STREAM_MAX_BYTES", 0)
+        monkeypatch.setattr(fr, "TRAIN_RAY_BLOCK", 8)
+    elif bwd_mode == "default_blocks":
+        # shipping partitions: frozen steps run _FROZEN_RAY_BLOCK=16 while
+        # the full backward keeps the r3 target — the f32 dW accumulation
+        # order differs across partitions, so compare at tolerance (noise
+        # off: the per-(block, lane) noise seeds would otherwise draw
+        # different iid values entirely)
+        exact = False
+        noise_std = 0.0
     else:
         monkeypatch.setattr(fr, "_FROZEN_BWD_MODE", bwd_mode)
+        # bit-equality needs ONE block partition for both paths (see
+        # default_blocks above for the shipping-partition tolerance case)
+        monkeypatch.setattr(fr, "TRAIN_RAY_BLOCK", 8)
     _, fused, params = nets
     frozen_net = NeRFNet(dataclasses.replace(fused.cfg, frozen_backbone=True))
     rays = _rays(key, 20)  # 20 % block != 0: exercises the bwd's pad masking
@@ -376,7 +390,7 @@ def test_frozen_backbone_grads_match_full(nets, key, bwd_mode, monkeypatch):
         # SOS-shaped loss: rgb MSE (zero sem-head dependence) + both
         # semantic heads (the correlation losses' inputs)
         out = net(p, rays, (1.0, 4.0), key=k, train=False,
-                  raw_noise_std=0.7, perturb=1.0)
+                  raw_noise_std=noise_std, perturb=1.0)
         return (jnp.mean((out["rgb"] - tgt) ** 2)
                 + 0.3 * jnp.mean(out["semantics"] ** 2)
                 + 0.2 * jnp.mean(out["semantics0"] ** 2))
@@ -397,9 +411,15 @@ def test_frozen_backbone_grads_match_full(nets, key, bwd_mode, monkeypatch):
             jax.tree_util.tree_leaves(g_full),
             jax.tree_util.tree_leaves(g_frozen)):
         name = jax.tree_util.keystr(path)
-        if m:  # sem head: bit-identical to the full backward
-            np.testing.assert_array_equal(np.array(a), np.array(b),
-                                          err_msg=name)
+        if m:  # sem head: identical to the full backward (bit-identical at
+            # a pinned common partition; f32-accumulation-order level at the
+            # shipping partitions)
+            if exact:
+                np.testing.assert_array_equal(np.array(a), np.array(b),
+                                              err_msg=name)
+            else:
+                np.testing.assert_allclose(np.array(a), np.array(b),
+                                           rtol=2e-5, atol=1e-7, err_msg=name)
         else:  # frozen: exact zeros
             assert np.all(np.array(b) == 0.0), name
 
@@ -409,4 +429,8 @@ def test_frozen_backbone_grads_match_full(nets, key, bwd_mode, monkeypatch):
     s_frozen = TrainState.create(params, tx).apply_gradients(g_frozen)
     for a, b in zip(jax.tree_util.tree_leaves(s_full.params),
                     jax.tree_util.tree_leaves(s_frozen.params)):
-        np.testing.assert_array_equal(np.array(a), np.array(b))
+        if exact:
+            np.testing.assert_array_equal(np.array(a), np.array(b))
+        else:
+            np.testing.assert_allclose(np.array(a), np.array(b),
+                                       rtol=1e-5, atol=1e-7)
